@@ -1,0 +1,239 @@
+"""Batched prime-field arithmetic on TPU: limb-decomposed Montgomery kernels.
+
+This is the TPU-native replacement for libff's Fp arithmetic (the compute
+engine behind every gadget/MSM/NTT in the reference — see SURVEY.md §2.9).
+Design:
+
+ - Elements are vectors of ``L`` limbs of ``W`` bits (default 20 x 13) held in
+   uint32 arrays with the **limb axis first**: shape ``(L, *batch)``.  The
+   batch dims land in TPU vector lanes; every op below is element-wise over
+   the batch and fully branch-free (XLA/VPU friendly).
+ - Multiplication is CIOS Montgomery multiplication with *lazy carries*:
+   13-bit limbs make every partial product fit in 26 bits, so a uint32
+   accumulator absorbs all 20 outer iterations (max column value
+   ~20*2*(2^13-1)^2 + carries < 2^32) without intermediate normalization.
+   A single sequential carry ripple + one conditional subtract canonicalize
+   the result.
+ - All loop structure is static Python (unrolled into the XLA graph); callers
+   wrap larger structures (hash rounds, ladder steps) in ``lax.scan``.
+
+Two instances matter: ``Fp(BN254_R)`` — the R1CS/witness/NTT field (also the
+Baby-JubJub base field) — and ``Fp(BN254_Q)`` — the G1/G2 coordinate field
+for MSM.  Oracle: :mod:`ethsnarks_tpu.field` (tests pin randomized vectors).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+# BN254 parameter set (matches src/ethsnarks.hpp curve selection).
+BN254_R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+BN254_Q = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+LIMB_BITS = 13
+NUM_LIMBS = 20
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+def _int_to_limbs(value, n=NUM_LIMBS):
+    return [(value >> (LIMB_BITS * i)) & LIMB_MASK for i in range(n)]
+
+
+class Fp:
+    """Montgomery arithmetic context for a fixed modulus (R = 2^(13*20))."""
+
+    def __init__(self, modulus):
+        self.modulus = modulus
+        self.L = NUM_LIMBS
+        self.W = LIMB_BITS
+        self.R = 1 << (LIMB_BITS * NUM_LIMBS)
+        assert modulus < self.R // 2, "need headroom for lazy CIOS"
+        self.R_mod = self.R % modulus
+        self.R2_mod = (self.R * self.R) % modulus
+        # -N^-1 mod 2^W  (the CIOS "m" multiplier).
+        self.n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) & LIMB_MASK
+
+        self.n_limbs = np.array(_int_to_limbs(modulus), dtype=np.uint32)
+        self.r2_limbs = np.array(_int_to_limbs(self.R2_mod), dtype=np.uint32)
+        self.one_mont_limbs = np.array(_int_to_limbs(self.R_mod), dtype=np.uint32)
+        self.zero_limbs = np.zeros(NUM_LIMBS, dtype=np.uint32)
+
+        # Jitted entry points for host-driven (eager) use; inside larger jitted
+        # programs call the plain methods so everything fuses into one XLA
+        # computation.
+        import jax
+        self.add_jit = jax.jit(self.add)
+        self.sub_jit = jax.jit(self.sub)
+        self.mul_jit = jax.jit(self.mul)
+        self.neg_jit = jax.jit(self.neg)
+        self.inv_jit = jax.jit(self.inv)
+        self.to_mont_jit = jax.jit(self.to_mont)
+        self.from_mont_jit = jax.jit(self.from_mont)
+
+    # ---------------- host <-> device representation ----------------
+
+    def to_limbs(self, values):
+        """Python ints (scalar or sequence/ndarray of objects) -> uint32 (L, B)."""
+        if isinstance(values, (int,)):
+            return np.array(_int_to_limbs(values % self.modulus),
+                            dtype=np.uint32)
+        arr = [int(v) % self.modulus for v in values]
+        out = np.zeros((self.L, len(arr)), dtype=np.uint32)
+        for b, v in enumerate(arr):
+            for i in range(self.L):
+                out[i, b] = (v >> (self.W * i)) & LIMB_MASK
+        return out
+
+    def from_limbs(self, limbs):
+        """uint32 (L, *batch) -> python ints (nested lists follow batch dims)."""
+        limbs = np.asarray(limbs)
+        flat = limbs.reshape(self.L, -1)
+        vals = []
+        for b in range(flat.shape[1]):
+            v = 0
+            for i in reversed(range(self.L)):
+                v = (v << self.W) | int(flat[i, b])
+            vals.append(v % self.modulus)
+        if limbs.ndim == 1:
+            return vals[0]
+        if limbs.ndim == 2:
+            return vals
+        return np.array(vals, dtype=object).reshape(limbs.shape[1:]).tolist()
+
+    def constant_mont(self, value, batch_shape=()):
+        """Host int -> Montgomery-form limb array broadcast over batch_shape."""
+        m = (int(value) % self.modulus) * self.R_mod % self.modulus  # value*R
+        limbs = np.array(_int_to_limbs(m), dtype=np.uint32)
+        return np.broadcast_to(limbs.reshape((self.L,) + (1,) * len(batch_shape)),
+                               (self.L,) + tuple(batch_shape)).copy()
+
+    # ---------------- canonicalization helpers ----------------
+
+    def _carry(self, t):
+        """Ripple-carry a (L, ...) uint32 accumulator into 13-bit limbs plus a
+        top overflow limb; returns (L+1, ...) canonical-limb array."""
+        out = []
+        carry = jnp.zeros_like(t[0])
+        for i in range(self.L):
+            v = t[i] + carry
+            out.append(v & LIMB_MASK)
+            carry = v >> self.W
+        out.append(carry)
+        return jnp.stack(out)
+
+    def _cond_sub_n(self, t):
+        """t is (L+1, ...) canonical limbs with value < 2N: subtract N when
+        t >= N, returning (L, ...) canonical limbs < N."""
+        n_ext = list(self.n_limbs) + [0]
+        d = []
+        borrow = jnp.zeros_like(t[0])
+        for i in range(self.L + 1):
+            v = t[i].astype(jnp.int32) - np.int32(n_ext[i]) - borrow.astype(jnp.int32)
+            neg = (v < 0)
+            d.append(jnp.where(neg, v + (1 << self.W), v).astype(jnp.uint32))
+            borrow = neg.astype(jnp.uint32)
+        ge_n = (borrow == 0)  # no final borrow -> t >= N
+        res = [jnp.where(ge_n, d[i], t[i]) for i in range(self.L)]
+        return jnp.stack(res)
+
+    # ---------------- field operations (all inputs canonical < N) ----------------
+
+    def add(self, a, b):
+        t = self._carry(a + b)
+        return self._cond_sub_n(t)
+
+    def sub(self, a, b):
+        """a - b mod N via a + (N - b) limb-wise; N-b never underflows after
+        adding N's limbs with borrow handling folded into the carry."""
+        # a + N - b: compute limbwise in int32 then normalize.
+        t = a.astype(jnp.int32) + self.n_limbs.reshape(
+            (self.L,) + (1,) * (a.ndim - 1)).astype(np.int32) - b.astype(jnp.int32)
+        # limbs in [-8191, 16382]: ripple signed carries.
+        out = []
+        carry = jnp.zeros_like(t[0])
+        for i in range(self.L):
+            v = t[i] + carry
+            out.append((v & LIMB_MASK).astype(jnp.uint32))
+            carry = v >> self.W  # arithmetic shift: carries can be -1
+        out.append(carry.astype(jnp.uint32))  # value in [0, 2N): top is 0/1
+        return self._cond_sub_n(jnp.stack(out))
+
+    def neg(self, a):
+        return self.sub(jnp.zeros_like(a), a)
+
+    def mul(self, a, b):
+        """CIOS Montgomery multiplication: returns a*b/R mod N (canonical)."""
+        n = self.n_limbs.reshape((self.L,) + (1,) * (a.ndim - 1))
+        t = jnp.zeros_like(a)  # (L, ...) uint32 lazy accumulator
+        for i in range(self.L):
+            t = t + a[i] * b
+            m = ((t[0] & LIMB_MASK) * self.n0inv) & LIMB_MASK
+            t = t + m * n
+            carry = t[0] >> self.W
+            t = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
+            t = t.at[0].add(carry)
+        return self._cond_sub_n(self._carry(t)[:self.L + 1])
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def to_mont(self, a):
+        r2 = self.r2_limbs.reshape((self.L,) + (1,) * (a.ndim - 1))
+        return self.mul(a, jnp.broadcast_to(r2, a.shape).astype(jnp.uint32))
+
+    def from_mont(self, a):
+        one = jnp.zeros_like(a).at[0].set(1)
+        return self.mul(a, one)
+
+    def pow_const(self, a, exponent):
+        """a^exponent for a *static* python-int exponent.
+
+        Small exponents (sbox x^5/x^7) unroll into the graph; large ones
+        (Fermat inverse) run as a ``lax.scan`` over the exponent bits to keep
+        the compiled program small.  Data-oblivious either way."""
+        import jax.lax as lax
+        exponent = int(exponent)
+        assert exponent >= 1
+        bits = bin(exponent)[2:]
+        if len(bits) <= 16:
+            acc = a
+            for bit in bits[1:]:
+                acc = self.mul(acc, acc)
+                if bit == '1':
+                    acc = self.mul(acc, a)
+            return acc
+        # MSB-first left-to-right ladder: acc = acc^2 * (bit ? a : 1).
+        bit_arr = jnp.array([int(b) for b in bits[1:]], dtype=jnp.uint32)
+
+        def step(acc, bit):
+            acc = self.mul(acc, acc)
+            mul_a = self.mul(acc, a)
+            return jnp.where(bit != 0, mul_a, acc), None
+
+        acc, _ = lax.scan(step, a, bit_arr)
+        return acc
+
+    def inv(self, a):
+        """Fermat inverse a^(N-2); data-oblivious (a must be nonzero)."""
+        return self.pow_const(a, self.modulus - 2)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=0)
+
+    def equal(self, a, b):
+        return jnp.all(a == b, axis=0)
+
+    def select(self, cond, a, b):
+        """cond broadcast over batch dims: where(cond, a, b)."""
+        return jnp.where(cond[None], a, b)
+
+    def mont_one(self, batch_shape=()):
+        limbs = self.one_mont_limbs.reshape((self.L,) + (1,) * len(batch_shape))
+        return jnp.broadcast_to(limbs, (self.L,) + tuple(batch_shape)).astype(jnp.uint32)
+
+    def zero(self, batch_shape=()):
+        return jnp.zeros((self.L,) + tuple(batch_shape), dtype=jnp.uint32)
+
+
+# Singleton contexts for the two BN254 fields.
+Fr = Fp(BN254_R)
+Fq = Fp(BN254_Q)
