@@ -160,6 +160,51 @@ class Fp:
     def neg(self, a):
         return self.sub(jnp.zeros_like(a), a)
 
+    def _cond_sub_multiple(self, t, mult):
+        """Subtract mult*N from the (L+1, ...)-limb value t when t >= mult*N.
+        Returns (L+1, ...) limbs.  Used for reducing short lazy sums."""
+        mn = _int_to_limbs(mult * self.modulus, self.L + 1)
+        d = []
+        borrow = jnp.zeros_like(t[0], dtype=jnp.int32)
+        for i in range(self.L + 1):
+            v = t[i].astype(jnp.int32) - np.int32(mn[i]) - borrow
+            neg = (v < 0)
+            d.append(jnp.where(neg, v + (1 << self.W), v).astype(jnp.uint32))
+            borrow = neg.astype(jnp.int32)
+        ge = (borrow == 0)
+        return jnp.stack([jnp.where(ge, d[i], t[i]) for i in range(self.L + 1)])
+
+    def add_many(self, terms):
+        """Modular sum of k canonical terms with one lazy limb-sum, one carry
+        ripple, and log2(k) conditional subtracts.  k*2^13 must fit uint32."""
+        k = len(terms)
+        assert k >= 1
+        acc = terms[0]
+        for term in terms[1:]:
+            acc = acc + term  # lazy uint32 limb sums, max k*(2^13-1)
+        t = self._carry(acc)
+        mult = 1
+        while mult * 2 < k:
+            mult *= 2
+        while mult >= 1:
+            t = self._cond_sub_multiple(t, mult)
+            mult //= 2
+        return t[:self.L]
+
+    def sum_axis(self, a, axis):
+        """Modular reduction along a batch axis of a (L, ...) array (the limb
+        axis is 0; ``axis`` counts in the full array's indices, >= 1)."""
+        k = a.shape[axis]
+        assert k * ((1 << self.W) - 1) < (1 << 32)
+        t = self._carry(jnp.sum(a, axis=axis, dtype=jnp.uint32))
+        mult = 1
+        while mult * 2 < k:
+            mult *= 2
+        while mult >= 1:
+            t = self._cond_sub_multiple(t, mult)
+            mult //= 2
+        return t[:self.L]
+
     def mul(self, a, b):
         """CIOS Montgomery multiplication: returns a*b/R mod N (canonical)."""
         n = self.n_limbs.reshape((self.L,) + (1,) * (a.ndim - 1))

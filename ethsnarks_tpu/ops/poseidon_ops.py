@@ -1,0 +1,118 @@
+"""Batched Poseidon permutation on TPU.
+
+TPU-native equivalent of the reference Poseidon gadget witness path
+(src/gadgets/poseidon.hpp; python oracle ethsnarks/poseidon/permutation.py).
+Structure: three ``lax.scan`` phases (first full rounds / partial rounds /
+last full rounds); the MDS mix runs as ONE batched Montgomery multiply over
+a (L, t, t, B) broadcast followed by a lazy modular row-sum, which keeps the
+VPU busy instead of looping 36 scalar muls.
+
+State layout: (L, t, B) Montgomery-form Fr limbs.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .fp import Fr
+from ..poseidon.permutation import DefaultParams
+from ..field import SNARK_SCALAR_FIELD
+
+
+def _to_mont_np(values):
+    """List of ints -> (n, L) uint32 Montgomery limbs (host-side)."""
+    out = np.zeros((len(values), Fr.L), dtype=np.uint32)
+    for r, v in enumerate(values):
+        m = (int(v) % SNARK_SCALAR_FIELD) * Fr.R_mod % SNARK_SCALAR_FIELD
+        for i in range(Fr.L):
+            out[r, i] = (m >> (Fr.W * i)) & ((1 << Fr.W) - 1)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _params_device(params_key=None):
+    """Round constants (nRounds, L) and MDS matrix (t, t, L), Montgomery."""
+    params = DefaultParams if params_key is None else params_key
+    C = _to_mont_np(params.constants_C)
+    t = params.t
+    M = np.zeros((t, t, Fr.L), dtype=np.uint32)
+    for i in range(t):
+        M[i] = _to_mont_np(params.constants_M[i])
+    return C, M
+
+
+def _mix(state, M_dev):
+    """MDS matrix-vector product over the state axis.
+
+    state: (L, t, B); M_dev: (t, t, L).
+    Result[i] = sum_j M[i][j] * state[j]."""
+    t = state.shape[1]
+    # Broadcast to (L, t_out, t_in, B) and do one big batched montmul.
+    m = jnp.transpose(jnp.asarray(M_dev), (2, 0, 1))[:, :, :, None]  # (L,t,t,1)
+    s = state[:, None, :, :]                                          # (L,1,t,B)
+    prods = Fr.mul(jnp.broadcast_to(m, (Fr.L, t, t) + state.shape[2:]),
+                   jnp.broadcast_to(s, (Fr.L, t, t) + state.shape[2:]))
+    return Fr.sum_axis(prods, axis=2)  # (L, t, B)
+
+
+def poseidon_permutation(state, params=None):
+    """Full Poseidon-pi permutation; state (L, t, B) Montgomery Fr."""
+    params = params or DefaultParams
+    C, M = _params_device()
+    C = jnp.asarray(C)
+    half_F = params.nRoundsF // 2
+    e = params.e
+    n_p = params.nRoundsP
+
+    def full_round(s, c):
+        s = Fr.add(s, jnp.broadcast_to(c[:, None, None], s.shape))
+        s = Fr.pow_const(s, e)
+        return _mix(s, M), None
+
+    def partial_round(s, c):
+        s = Fr.add(s, jnp.broadcast_to(c[:, None, None], s.shape))
+        s0 = Fr.pow_const(s[:, 0], e)
+        s = s.at[:, 0].set(s0)
+        return _mix(s, M), None
+
+    # Constants are (nRounds, L); scan bodies take (L,) rows.
+    c_first = jnp.transpose(C[:half_F], (0, 1))
+    c_mid = C[half_F:half_F + n_p]
+    c_last = C[half_F + n_p:]
+
+    state, _ = lax.scan(full_round, state, c_first)
+    state, _ = lax.scan(partial_round, state, c_mid)
+    state, _ = lax.scan(full_round, state, c_last)
+    return state
+
+
+@jax.jit
+def _poseidon_default_jit(state):
+    return poseidon_permutation(state)
+
+
+def poseidon_device(inputs_batch, params=None, chained=False):
+    """Host convenience: batch of input tuples -> batched Poseidon.
+
+    inputs_batch: sequence of equal-length tuples of ints (len < t).
+    Returns list of output ints (or list of full states if chained)."""
+    params = params or DefaultParams
+    t = params.t
+    n = len(inputs_batch)
+    width = len(inputs_batch[0])
+    assert chained or width < t
+    state = np.zeros((Fr.L, t, n), dtype=np.uint32)
+    for j in range(width):
+        col = np.asarray(Fr.to_mont_jit(
+            Fr.to_limbs([row[j] for row in inputs_batch])))
+        state[:, j, :] = col
+    out = _poseidon_default_jit(jnp.asarray(state))
+    plain = np.asarray(Fr.from_mont_jit(out.reshape(Fr.L, t * n))).reshape(
+        Fr.L, t, n)
+    if chained:
+        return [[Fr.from_limbs(plain[:, j, b:b + 1])[0] for j in range(t)]
+                for b in range(n)]
+    return Fr.from_limbs(plain[:, 0, :])
