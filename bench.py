@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark driver: MSM G1 points/sec/chip (the north-star metric).
+
+Runs on whatever accelerator JAX finds (the axon TPU in CI).  Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no absolute numbers (BASELINE.md); vs_baseline is
+normalized against 1.0e6 points/sec, a representative multicore-CPU
+libsnark/mcl Pippenger rate for 2^20-point BN254 G1 MSMs (order-of-magnitude
+anchor, documented in BASELINE.md table: prover asymptotics row).
+
+Env knobs:
+  BENCH_MSM_SIZE   log2 number of points (default 20)
+  BENCH_MSM_C      Pippenger window bits (default 13)
+  BENCH_REPS       timed repetitions (default 3)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Use the default platform (TPU when present). Do NOT force CPU here.
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from ethsnarks_tpu.ops.fp import Fq
+from ethsnarks_tpu.ops import msm as msm_ops
+from ethsnarks_tpu.bn254 import G1_GEN, CURVE_ORDER, multiply, add
+
+
+BASELINE_POINTS_PER_SEC = 1.0e6
+
+
+def main():
+    log_n = int(os.environ.get("BENCH_MSM_SIZE", "20"))
+    c = int(os.environ.get("BENCH_MSM_C", "13"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    n = 1 << log_n
+
+    # Points: the generator broadcast n times (bucket work is coordinate-
+    # independent, and the result is checkable as (sum scalars) * G).
+    gx, gy = G1_GEN[0].n, G1_GEN[1].n
+    X = jnp.broadcast_to(
+        jnp.asarray(Fq.to_mont_jit(Fq.to_limbs([gx]))).reshape(Fq.L, 1),
+        (Fq.L, n))
+    Y = jnp.broadcast_to(
+        jnp.asarray(Fq.to_mont_jit(Fq.to_limbs([gy]))).reshape(Fq.L, 1),
+        (Fq.L, n))
+    Z = jnp.broadcast_to(
+        jnp.asarray(Fq.to_mont_jit(Fq.to_limbs([1]))).reshape(Fq.L, 1),
+        (Fq.L, n))
+    points = (X, Y, Z)
+
+    rng = np.random.default_rng(12345)
+    # Random 253-bit scalars via numpy (exact, fast).
+    words = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint64)
+    n_windows = (254 + c - 1) // c
+    digits = np.zeros((n_windows, n), dtype=np.uint32)
+    scalar_sum = 0
+    mask = (1 << c) - 1
+    # vectorized digit extraction from 32-bit words
+    for w in range(n_windows):
+        bit0 = w * c
+        word0 = bit0 // 32
+        off = bit0 % 32
+        lo = words[:, word0] >> off
+        hi = np.zeros_like(lo)
+        if word0 + 1 < 8 and off + c > 32:
+            hi = words[:, word0 + 1] << (32 - off)
+        digits[w] = ((lo | hi) & mask).astype(np.uint32)
+    # Fold top window to keep scalars < 2^253 (clip top digit)
+    top_bits = 253 - (n_windows - 1) * c
+    if top_bits > 0:
+        digits[-1] &= (1 << top_bits) - 1
+    # sum of all scalars == sum_w 2^(c*w) * sum_i digits[w, i]
+    for w in range(n_windows):
+        scalar_sum += (1 << (c * w)) * int(digits[w].astype(np.int64).sum())
+    scalar_sum %= CURVE_ORDER
+
+    digits_dev = jnp.asarray(digits)
+    run = msm_ops._jit_msm('g1', c)
+
+    # Warmup / compile.
+    res = run(points, digits_dev)
+    jax.block_until_ready(res)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = run(points, digits_dev)
+        jax.block_until_ready(res)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    # Verify against (sum of scalars) * G.
+    from ethsnarks_tpu.ops import curve as curve_ops
+    got = curve_ops.g1_from_device(res)[0]
+    want = multiply(G1_GEN, scalar_sum)
+    ok = (got == want)
+
+    pps = n / dt
+    out = {
+        "metric": "msm_g1_points_per_sec_per_chip",
+        "value": round(pps, 1),
+        "unit": "points/s (2^%d points, c=%d, %s, correct=%s)" % (
+            log_n, c, jax.devices()[0].platform, ok),
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
+    }
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

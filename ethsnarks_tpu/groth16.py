@@ -1,0 +1,228 @@
+"""Groth16-"zok" proof system: generator, prover context, prover.
+
+Structure parity with src/r1cs_gg_ppzksnark_zok/ (SURVEY.md §2.1): the
+"nozk" variant - no r/s blinding, deterministic proofs (tcc:533-540), sparse
+A/B queries (zero entries dropped, hpp:209-233), vk with alpha in G1 and
+beta/gamma/delta in G2 so the unmodified Verifier.sol / verifier.py accept
+the proofs.
+
+TPU mapping: the witness map runs on device (:mod:`ethsnarks_tpu.qap`);
+multi-scalar multiplications run on device via :mod:`ethsnarks_tpu.ops.msm`
+when available, with an exact host fallback.  The H-query is stored in
+bit-reversed order to match the NTT output layout (no permutation at prove
+time).
+
+``ProverContext`` plays the role of the reference's ProverContextT
+(hpp:279-291): per-circuit compiled artifacts (QAP arrays, jitted programs,
+device-resident key shards) reused across proofs.
+"""
+
+import secrets
+
+import numpy as np
+
+from .field import SNARK_SCALAR_FIELD
+from .qap import QAP
+from . import bn254
+from .bn254 import (
+    G1_GEN, G2_GEN, multiply, add, neg, Fq, Fq2)
+from .verifier import VerifyingKey, Proof
+
+P = SNARK_SCALAR_FIELD
+
+
+class _FixedBaseMul(object):
+    """Window-table fixed-base multiplier (host batch_exp equivalent)."""
+
+    def __init__(self, base, bits=256, window=8):
+        self.window = window
+        self.tables = []
+        cur = base
+        for _ in range((bits + window - 1) // window):
+            row = [None]
+            acc = None
+            for _ in range((1 << window) - 1):
+                acc = add(acc, cur)
+                row.append(acc)
+            self.tables.append(row)
+            cur = add(row[-1], cur)  # cur * 2^window
+
+    def mul(self, scalar):
+        scalar = int(scalar) % P
+        out = None
+        i = 0
+        while scalar:
+            digit = scalar & ((1 << self.window) - 1)
+            if digit:
+                out = add(out, self.tables[i][digit])
+            scalar >>= self.window
+            i += 1
+        return out
+
+
+class ProvingKey(object):
+    """nozk proving key: sparse A (G1) / B (G2) queries, dense bitrev H query
+    (G1), L query (G1, aux variables only)."""
+
+    def __init__(self, alpha_g1, beta_g2, delta_g2, a_query, b_query,
+                 h_query_bitrev, l_query, num_inputs):
+        self.alpha_g1 = alpha_g1
+        self.beta_g2 = beta_g2
+        self.delta_g2 = delta_g2
+        self.a_query = a_query            # list[(idx, G1)]
+        self.b_query = b_query            # list[(idx, G2)]
+        self.h_query_bitrev = h_query_bitrev  # list[G1 or None], len m
+        self.l_query = l_query            # list[G1 or None], aux vars
+        self.num_inputs = num_inputs
+
+
+class Keypair(object):
+    def __init__(self, pk, vk):
+        self.pk = pk
+        self.vk = vk
+
+
+def generator(cs, rng=None):
+    """Trusted setup over a finished (constrained) ConstraintSystem.
+
+    rng: optional callable returning random field elements (for tests);
+    defaults to rejection-sampled secrets.randbelow."""
+    rng = rng or (lambda: secrets.randbelow(P - 1) + 1)
+    qap = QAP(cs)
+
+    while True:
+        t = rng()
+        if pow(t, qap.domain_size, P) != 1:
+            break
+    alpha, beta, gamma, delta = rng(), rng(), rng(), rng()
+    gamma_inv = pow(gamma, -1, P)
+    delta_inv = pow(delta, -1, P)
+
+    At, Bt, Ct, Zt = qap.instance_map(t)
+    nv = qap.num_variables
+    ni = qap.num_inputs
+    m = qap.domain_size
+
+    g1 = _FixedBaseMul(G1_GEN)
+    g2 = _FixedBaseMul(G2_GEN)
+
+    # Sparse queries (drop zero entries - the nozk key conversion).
+    a_query = [(i, g1.mul(At[i])) for i in range(nv) if At[i]]
+    b_query = [(i, g2.mul(Bt[i])) for i in range(nv) if Bt[i]]
+
+    # H query: (t^i * Z(t) / delta) G1, stored bit-reversed.
+    zt_delta = Zt * delta_inv % P
+    h_scalar = [0] * m
+    acc = zt_delta
+    for i in range(m):
+        h_scalar[i] = acc
+        acc = acc * t % P
+    bitrev = qap.domain.bitrev
+    h_query_bitrev = [g1.mul(h_scalar[int(bitrev[p])]) for p in range(m)]
+
+    # L query (aux variables): (beta*A_i + alpha*B_i + C_i)/delta * G1.
+    l_query = []
+    for i in range(ni + 1, nv):
+        s = (beta * At[i] + alpha * Bt[i] + Ct[i]) % P * delta_inv % P
+        l_query.append(g1.mul(s) if s else None)
+
+    # vk
+    gamma_abc = []
+    for i in range(0, ni + 1):
+        s = (beta * At[i] + alpha * Bt[i] + Ct[i]) % P * gamma_inv % P
+        gamma_abc.append(g1.mul(s) if s else None)
+    assert all(p is not None for p in gamma_abc), \
+        "zero gammaABC entry; input variable unused"
+
+    vk = VerifyingKey(
+        alpha=g1.mul(alpha),
+        beta=g2.mul(beta),
+        gamma=g2.mul(gamma),
+        delta=g2.mul(delta),
+        gammaABC=gamma_abc)
+    pk = ProvingKey(
+        alpha_g1=g1.mul(alpha),
+        beta_g2=g2.mul(beta),
+        delta_g2=g2.mul(delta),
+        a_query=a_query,
+        b_query=b_query,
+        h_query_bitrev=h_query_bitrev,
+        l_query=l_query,
+        num_inputs=ni)
+    return Keypair(pk, vk)
+
+
+class ProverContext(object):
+    """Reusable proving state: QAP device arrays + jitted programs + key.
+
+    use_device_msm: route the four MSMs through ops.msm (TPU); otherwise an
+    exact host Pippenger-free fallback is used."""
+
+    def __init__(self, pk, cs, use_device_msm=True):
+        self.pk = pk
+        self.qap = QAP(cs)
+        self.use_device_msm = use_device_msm
+        self._device_keys = None
+
+    # ----- host MSM fallback -----
+
+    @staticmethod
+    def _host_msm(pairs):
+        """Sum of scalar*point (python ints / bn254 points)."""
+        out = None
+        for s, pt in pairs:
+            if s and pt is not None:
+                out = add(out, multiply(pt, s))
+        return out
+
+    def _device_msm_g1(self, pairs):
+        from .ops import msm as msm_ops
+        scalars = [s for s, _ in pairs]
+        points = [pt for _, pt in pairs]
+        return msm_ops.msm_g1_host_api(scalars, points)
+
+    def _device_msm_g2(self, pairs):
+        from .ops import msm as msm_ops
+        scalars = [s for s, _ in pairs]
+        points = [pt for _, pt in pairs]
+        return msm_ops.msm_g2_host_api(scalars, points)
+
+    def prove(self, witness_values, primary_input=None):
+        """witness_values: full assignment [1, x_1.., aux..] (python ints)."""
+        pk = self.pk
+        ni = pk.num_inputs
+        w = [int(v) % P for v in witness_values]
+        assert w[0] == 1
+
+        # H coefficients via the device witness map (bitrev order).
+        h_bitrev_mont = self.qap.witness_map_device(w)
+        from .ops.fp import Fr
+        h_bitrev = Fr.from_limbs(np.asarray(Fr.from_mont_jit(h_bitrev_mont)))
+
+        a_pairs = [(w[i], pt) for i, pt in pk.a_query]
+        b_pairs = [(w[i], pt) for i, pt in pk.b_query]
+        h_pairs = [(h_bitrev[p], pt)
+                   for p, pt in enumerate(pk.h_query_bitrev) if pt is not None]
+        l_pairs = [(w[ni + 1 + j], pt)
+                   for j, pt in enumerate(pk.l_query) if pt is not None]
+
+        if self.use_device_msm:
+            a_eval = self._device_msm_g1(a_pairs)
+            b_eval = self._device_msm_g2(b_pairs)
+            h_eval = self._device_msm_g1(h_pairs)
+            l_eval = self._device_msm_g1(l_pairs)
+        else:
+            a_eval = self._host_msm(a_pairs)
+            b_eval = self._host_msm(b_pairs)
+            h_eval = self._host_msm(h_pairs)
+            l_eval = self._host_msm(l_pairs)
+
+        g_a = add(pk.alpha_g1, a_eval)
+        g_b = add(pk.beta_g2, b_eval)
+        g_c = add(h_eval, l_eval)
+        return Proof(A=g_a, B=g_b, C=g_c, input=w[1:1 + ni])
+
+
+def prove(context, witness_values):
+    """One-call helper (parity: src/stubs.cpp:42-47)."""
+    return context.prove(witness_values)

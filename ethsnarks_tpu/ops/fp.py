@@ -49,8 +49,11 @@ class Fp:
         assert modulus < self.R // 2, "need headroom for lazy CIOS"
         self.R_mod = self.R % modulus
         self.R2_mod = (self.R * self.R) % modulus
-        # -N^-1 mod 2^W  (the CIOS "m" multiplier).
+        # -N^-1 mod 2^W  (CIOS-style single-limb multiplier, kept for
+        # reference) and the full -N^-1 mod R used by separated REDC.
         self.n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) & LIMB_MASK
+        self.nprime = (-pow(modulus, -1, self.R)) % self.R
+        self.nprime_limbs = np.array(_int_to_limbs(self.nprime), dtype=np.uint32)
 
         self.n_limbs = np.array(_int_to_limbs(modulus), dtype=np.uint32)
         self.r2_limbs = np.array(_int_to_limbs(self.R2_mod), dtype=np.uint32)
@@ -108,32 +111,76 @@ class Fp:
 
     # ---------------- canonicalization helpers ----------------
 
+    @staticmethod
+    def _shift_up(c):
+        """Shift a (K, ...) column array up one limb (carry movement)."""
+        return jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
+
+    def _carry_exact(self, cols, extra=1):
+        """Exact carry propagation of a (K, ...) uint32 column array (values
+        arbitrary up to ~2^31.5) into (K+extra, ...) canonical 13-bit limbs.
+
+        Three masked-shift passes bring every digit to <= 2^13, then a
+        Kogge-Stone prefix resolves the remaining 0/1 carries in log depth -
+        no sequential ripple over limbs."""
+        t = cols
+        for _ in range(extra):
+            t = jnp.concatenate([t, jnp.zeros_like(t[:1])], axis=0)
+        # pass 1..3: digits drop to <= 2^13 (8192)
+        for _ in range(3):
+            t = (t & LIMB_MASK) + self._shift_up(t >> self.W)
+        # Kogge-Stone on the residual binary carries:
+        # g = digit overflows by itself, p = digit propagates an incoming carry
+        g = (t >> self.W).astype(jnp.uint32)        # 1 iff t == 8192
+        p = (t == LIMB_MASK)
+        shift = 1
+        K = t.shape[0]
+        while shift < K:
+            g_prev = jnp.concatenate(
+                [jnp.zeros_like(g[:shift]), g[:-shift]], axis=0)
+            p_prev = jnp.concatenate(
+                [jnp.zeros((shift,) + p.shape[1:], dtype=bool), p[:-shift]],
+                axis=0)
+            g = g | (p & g_prev)
+            p = p & p_prev
+            shift *= 2
+        carry_in = self._shift_up(g)
+        return (t + carry_in) & LIMB_MASK
+
     def _carry(self, t):
-        """Ripple-carry a (L, ...) uint32 accumulator into 13-bit limbs plus a
-        top overflow limb; returns (L+1, ...) canonical-limb array."""
-        out = []
-        carry = jnp.zeros_like(t[0])
-        for i in range(self.L):
-            v = t[i] + carry
-            out.append(v & LIMB_MASK)
-            carry = v >> self.W
-        out.append(carry)
-        return jnp.stack(out)
+        """(L, ...) lazy accumulator -> (L+1, ...) canonical limbs."""
+        return self._carry_exact(t, extra=1)
+
+    def _ks_sub(self, x, y_np):
+        """x (K, ...) canonical limbs minus constant limb array y_np (K,).
+
+        Returns (diff mod 2^(13K) as canonical limbs, underflow flag).
+        Borrow resolution is a Kogge-Stone prefix (log depth)."""
+        K = x.shape[0]
+        y = np.asarray(y_np, dtype=np.int32).reshape((K,) + (1,) * (x.ndim - 1))
+        d = x.astype(jnp.int32) - y
+        g = d < 0
+        p = d == 0
+        shift = 1
+        while shift < K:
+            zeros = jnp.zeros((shift,) + g.shape[1:], dtype=bool)
+            g_prev = jnp.concatenate([zeros, g[:-shift]], axis=0)
+            p_prev = jnp.concatenate([zeros, p[:-shift]], axis=0)
+            g = g | (p & g_prev)
+            p = p & p_prev
+            shift *= 2
+        borrow_in = jnp.concatenate(
+            [jnp.zeros((1,) + g.shape[1:], dtype=bool), g[:-1]], axis=0)
+        r = ((d - borrow_in.astype(jnp.int32)) & LIMB_MASK).astype(jnp.uint32)
+        return r, g[-1]
 
     def _cond_sub_n(self, t):
         """t is (L+1, ...) canonical limbs with value < 2N: subtract N when
         t >= N, returning (L, ...) canonical limbs < N."""
-        n_ext = list(self.n_limbs) + [0]
-        d = []
-        borrow = jnp.zeros_like(t[0])
-        for i in range(self.L + 1):
-            v = t[i].astype(jnp.int32) - np.int32(n_ext[i]) - borrow.astype(jnp.int32)
-            neg = (v < 0)
-            d.append(jnp.where(neg, v + (1 << self.W), v).astype(jnp.uint32))
-            borrow = neg.astype(jnp.uint32)
-        ge_n = (borrow == 0)  # no final borrow -> t >= N
-        res = [jnp.where(ge_n, d[i], t[i]) for i in range(self.L)]
-        return jnp.stack(res)
+        n_ext = np.concatenate([self.n_limbs, [0]])
+        d, underflow = self._ks_sub(t, n_ext)
+        ge_n = jnp.logical_not(underflow)
+        return jnp.where(ge_n[None], d[:self.L], t[:self.L])
 
     # ---------------- field operations (all inputs canonical < N) ----------------
 
@@ -141,38 +188,43 @@ class Fp:
         t = self._carry(a + b)
         return self._cond_sub_n(t)
 
+    def _ks_sub_var(self, x, y):
+        """x - y for two canonical limb arrays of equal shape (K, ...).
+
+        Returns (diff mod 2^(13K), underflow flag); Kogge-Stone borrows."""
+        K = x.shape[0]
+        d = x.astype(jnp.int32) - y.astype(jnp.int32)
+        g = d < 0
+        p = d == 0
+        shift = 1
+        while shift < K:
+            zeros = jnp.zeros((shift,) + g.shape[1:], dtype=bool)
+            g = g | (p & jnp.concatenate([zeros, g[:-shift]], axis=0))
+            p = p & jnp.concatenate([zeros, p[:-shift]], axis=0)
+            shift *= 2
+        borrow_in = jnp.concatenate(
+            [jnp.zeros((1,) + g.shape[1:], dtype=bool), g[:-1]], axis=0)
+        r = ((d - borrow_in.astype(jnp.int32)) & LIMB_MASK).astype(jnp.uint32)
+        return r, g[-1]
+
     def sub(self, a, b):
-        """a - b mod N via a + (N - b) limb-wise; N-b never underflows after
-        adding N's limbs with borrow handling folded into the carry."""
-        # a + N - b: compute limbwise in int32 then normalize.
-        t = a.astype(jnp.int32) + self.n_limbs.reshape(
-            (self.L,) + (1,) * (a.ndim - 1)).astype(np.int32) - b.astype(jnp.int32)
-        # limbs in [-8191, 16382]: ripple signed carries.
-        out = []
-        carry = jnp.zeros_like(t[0])
-        for i in range(self.L):
-            v = t[i] + carry
-            out.append((v & LIMB_MASK).astype(jnp.uint32))
-            carry = v >> self.W  # arithmetic shift: carries can be -1
-        out.append(carry.astype(jnp.uint32))  # value in [0, 2N): top is 0/1
-        return self._cond_sub_n(jnp.stack(out))
+        """a - b mod N: KS subtract, then add N back on underflow."""
+        r, underflow = self._ks_sub_var(a, b)
+        n = self.n_limbs.reshape((self.L,) + (1,) * (a.ndim - 1))
+        # (r + N) mod 2^260 == a - b + N when a < b (drop the wrap constant).
+        plus_n = self._carry_exact(r + n, extra=0)
+        return jnp.where(underflow[None], plus_n, r)
 
     def neg(self, a):
         return self.sub(jnp.zeros_like(a), a)
 
     def _cond_sub_multiple(self, t, mult):
-        """Subtract mult*N from the (L+1, ...)-limb value t when t >= mult*N.
-        Returns (L+1, ...) limbs.  Used for reducing short lazy sums."""
-        mn = _int_to_limbs(mult * self.modulus, self.L + 1)
-        d = []
-        borrow = jnp.zeros_like(t[0], dtype=jnp.int32)
-        for i in range(self.L + 1):
-            v = t[i].astype(jnp.int32) - np.int32(mn[i]) - borrow
-            neg = (v < 0)
-            d.append(jnp.where(neg, v + (1 << self.W), v).astype(jnp.uint32))
-            borrow = neg.astype(jnp.int32)
-        ge = (borrow == 0)
-        return jnp.stack([jnp.where(ge, d[i], t[i]) for i in range(self.L + 1)])
+        """Subtract mult*N from the (K, ...)-limb value t when t >= mult*N.
+        Returns (K, ...) limbs.  Used for reducing short lazy sums."""
+        K = t.shape[0]
+        mn = _int_to_limbs(mult * self.modulus, K)
+        d, underflow = self._ks_sub(t, mn)
+        return jnp.where(underflow[None], t, d)
 
     def add_many(self, terms):
         """Modular sum of k canonical terms with one lazy limb-sum, one carry
@@ -206,17 +258,40 @@ class Fp:
         return t[:self.L]
 
     def mul(self, a, b):
-        """CIOS Montgomery multiplication: returns a*b/R mod N (canonical)."""
-        n = self.n_limbs.reshape((self.L,) + (1,) * (a.ndim - 1))
-        t = jnp.zeros_like(a)  # (L, ...) uint32 lazy accumulator
-        for i in range(self.L):
-            t = t + a[i] * b
-            m = ((t[0] & LIMB_MASK) * self.n0inv) & LIMB_MASK
-            t = t + m * n
-            carry = t[0] >> self.W
-            t = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
-            t = t.at[0].add(carry)
-        return self._cond_sub_n(self._carry(t)[:self.L + 1])
+        """Montgomery multiplication a*b/R mod N via separated REDC.
+
+        Schoolbook column products (13-bit limbs make every column sum fit
+        uint32 without intermediate carries), one exact carry to get T mod R,
+        m = T*N' mod R by a second low product, then (T + m*N)/R.  Shallow
+        dependency graph: three column-product loops + three log-depth
+        carries, no per-limb sequential chain."""
+        L = self.L
+        batch = a.shape[1:]
+        nd = len(batch)
+        n = self.n_limbs.reshape((L,) + (1,) * nd)
+        nprime = self.nprime_limbs.reshape((L,) + (1,) * nd)
+
+        # T = a*b as 2L-1 lazy columns.  Derive the accumulator from the
+        # inputs (zeros_like + pad) so batch shardings propagate unambiguously
+        # through the scatter-adds below.
+        pad_cfg = ((0, L - 1),) + ((0, 0),) * nd
+        cols = jnp.pad(jnp.zeros_like(a), pad_cfg)
+        for i in range(L):
+            cols = cols.at[i:i + L].add(a[i] * b)
+
+        # m = (T mod R) * N' mod R.
+        t_lo = self._carry_exact(cols[:L], extra=0)  # T mod R, canonical
+        mcols = jnp.zeros_like(a)
+        for i in range(L):
+            mcols = mcols.at[i:].add(t_lo[i] * nprime[:L - i])
+        m = self._carry_exact(mcols, extra=0)
+
+        # U = T + m*N; low L limbs vanish; result = U >> (13L).
+        u = jnp.pad(cols, ((0, 1),) + ((0, 0),) * nd)
+        for i in range(L):
+            u = u.at[i:i + L].add(m[i] * n)
+        uc = self._carry_exact(u, extra=1)  # (2L+1, ...)
+        return self._cond_sub_n(uc[L:])
 
     def square(self, a):
         return self.mul(a, a)

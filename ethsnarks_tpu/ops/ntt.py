@@ -1,0 +1,165 @@
+"""Radix-2 NTT over the BN254 scalar field on TPU (libfqfft replacement).
+
+The QAP witness map needs three iFFTs + three coset FFTs + one inverse coset
+FFT on the evaluation domain (reference hot path
+r1cs_to_qap_witness_map, SURVEY.md §3.2).  TPU-first design decisions:
+
+ - **No bit-reversal permutation is ever materialized.**  The forward
+   transform is decimation-in-frequency (natural -> bit-reversed) and the
+   companion transform is decimation-in-time (bit-reversed -> natural); all
+   pointwise scalings that happen while data is in bit-reversed order
+   (coset powers, 1/m, Z^-1) use constant arrays precomputed host-side in
+   bit-reversed order.  Consumers that pair coefficients with fixed data
+   (the Groth16 H-query) permute the *setup-time* data instead.
+ - Each butterfly stage is a reshape (free) + one batched Montgomery mul +
+   modular add/sub on (L, l, n) arrays: pure VPU work with lanes = domain.
+ - Fr has 2-adicity 28 (r - 1 = 2^28 * odd), so domains up to 2^28 work.
+
+All arrays are Montgomery-form Fr limbs, shape (L, m).
+Oracle: naive O(m^2) evaluation with python ints (tests).
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .fp import Fr, BN254_R
+
+R = BN254_R
+
+# Multiplicative generator of Fr* (standard for this curve; also libsnark's
+# Fr::multiplicative_generator) - used both as 2-adic root source and as the
+# coset shift g.
+MULT_GEN = 5
+TWO_ADICITY = 28
+_ROOT_OF_UNITY = pow(MULT_GEN, (R - 1) >> TWO_ADICITY, R)
+assert pow(_ROOT_OF_UNITY, 1 << 27, R) != 1 or True  # order checked below
+assert pow(_ROOT_OF_UNITY, 1 << TWO_ADICITY, R) == 1
+assert pow(_ROOT_OF_UNITY, 1 << (TWO_ADICITY - 1), R) == R - 1
+
+
+def _mont_np(vals):
+    """ints -> (L, n) uint32 Montgomery limbs."""
+    out = np.zeros((Fr.L, len(vals)), dtype=np.uint32)
+    for b, v in enumerate(vals):
+        m = (int(v) % R) * Fr.R_mod % R
+        for i in range(Fr.L):
+            out[i, b] = (m >> (Fr.W * i)) & ((1 << Fr.W) - 1)
+    return out
+
+
+def _bitrev_indices(m):
+    k = m.bit_length() - 1
+    idx = np.arange(m)
+    out = np.zeros(m, dtype=np.int64)
+    for b in range(k):
+        out |= ((idx >> b) & 1) << (k - 1 - b)
+    return out
+
+
+class NttDomain:
+    """Evaluation domain of size m = 2^k with coset support."""
+
+    def __init__(self, m, coset_gen=MULT_GEN):
+        assert m & (m - 1) == 0 and m >= 2
+        self.m = m
+        self.k = m.bit_length() - 1
+        assert self.k <= TWO_ADICITY
+        self.omega = pow(_ROOT_OF_UNITY, 1 << (TWO_ADICITY - self.k), R)
+        self.omega_inv = pow(self.omega, -1, R)
+        self.m_inv = pow(m, -1, R)
+        self.coset_gen = coset_gen
+        self.bitrev = _bitrev_indices(m)
+
+        # Per-stage twiddles for spans n = m, m/2, ..., 2 (DIF order):
+        # stage twiddles are w_n^j, j in 0..n/2-1, with w_n = omega^(m/n).
+        self.tw_fwd = []
+        self.tw_inv = []
+        for s in range(self.k):
+            n = m >> s
+            w_n = pow(self.omega, m // n, R)
+            w_inv = pow(self.omega_inv, m // n, R)
+            js = [pow(w_n, j, R) for j in range(n // 2)]
+            js_inv = [pow(w_inv, j, R) for j in range(n // 2)]
+            self.tw_fwd.append(_mont_np(js))
+            self.tw_inv.append(_mont_np(js_inv))
+
+        # Pointwise constant arrays (bit-reversed order where applicable).
+        g = coset_gen
+        g_pows = [pow(g, int(i), R) for i in self.bitrev]
+        g_pows_inv = [pow(g, -int(i), R) for i in self.bitrev]
+        self.coset_scale_bitrev = _mont_np(g_pows)          # (L, m)
+        self.coset_unscale_bitrev = _mont_np(g_pows_inv)    # (L, m)
+        self.m_inv_mont = _mont_np([self.m_inv])            # (L, 1)
+        z_coset = (pow(g, m, R) - 1) % R                    # Z_H(coset) const
+        self.z_coset_inv_mont = _mont_np([pow(z_coset, -1, R)])
+
+    # ---- butterfly drivers (traceable) ----
+
+    def _dif(self, x, twiddles):
+        """Natural -> bit-reversed Cooley-Tukey DIF.
+        Butterfly: (u, v) -> (u + v, (u - v) * w^j)."""
+        m = self.m
+        x = x.reshape(Fr.L, 1, m)
+        for s in range(self.k):
+            n = m >> s
+            half = n // 2
+            u = x[:, :, :half]
+            v = x[:, :, half:]
+            tw = jnp.asarray(twiddles[s])[:, None, :]  # (L, 1, half)
+            a = Fr.add(u, v)
+            b = Fr.mul(Fr.sub(u, v), jnp.broadcast_to(tw, u.shape))
+            x = jnp.concatenate([a, b], axis=2).reshape(Fr.L, 1 << (s + 1), half)
+        return x.reshape(Fr.L, m)
+
+    def _dit(self, x, twiddles):
+        """Bit-reversed -> natural Gentleman-Sande-inverse DIT.
+        Butterfly: (u, v) -> (u + v*w^j, u - v*w^j)."""
+        m = self.m
+        x = x.reshape(Fr.L, m, 1)
+        for s in range(self.k - 1, -1, -1):
+            n = m >> s
+            half = n // 2
+            x = x.reshape(Fr.L, 1 << s, n)
+            u = x[:, :, :half]
+            v = x[:, :, half:]
+            tw = jnp.asarray(twiddles[s])[:, None, :]
+            t = Fr.mul(v, jnp.broadcast_to(tw, v.shape))
+            x = jnp.concatenate([Fr.add(u, t), Fr.sub(u, t)], axis=2)
+        return x.reshape(Fr.L, m)
+
+    # ---- high-level transforms (traceable) ----
+
+    def fft_coeffs_bitrev_to_evals(self, coeffs_bitrev):
+        """Coefficients (bit-reversed order) -> evaluations (natural)."""
+        return self._dit(coeffs_bitrev, self.tw_fwd)
+
+    def ifft_evals_to_coeffs_bitrev(self, evals):
+        """Evaluations (natural) -> coefficients (bit-reversed), incl 1/m."""
+        x = self._dif(evals, self.tw_inv)
+        scale = jnp.asarray(self.m_inv_mont)
+        return Fr.mul(x, jnp.broadcast_to(scale, x.shape))
+
+    def coset_fft_coeffs_bitrev_to_evals(self, coeffs_bitrev):
+        """Coefficients (bitrev) -> evaluations on the coset g*H (natural)."""
+        scaled = Fr.mul(coeffs_bitrev, jnp.asarray(self.coset_scale_bitrev))
+        return self._dit(scaled, self.tw_fwd)
+
+    def icoset_fft_evals_to_coeffs_bitrev(self, evals):
+        """Evaluations on g*H (natural) -> coefficients (bitrev)."""
+        x = self._dif(evals, self.tw_inv)
+        scale = jnp.asarray(self.m_inv_mont)
+        x = Fr.mul(x, jnp.broadcast_to(scale, x.shape))
+        return Fr.mul(x, jnp.asarray(self.coset_unscale_bitrev))
+
+    def divide_by_z_on_coset(self, evals):
+        """Multiply coset evaluations by Z_H(coset)^-1 (a single constant)."""
+        scale = jnp.asarray(self.z_coset_inv_mont)
+        return Fr.mul(evals, jnp.broadcast_to(scale, evals.shape))
+
+
+@lru_cache(maxsize=None)
+def get_domain(m):
+    return NttDomain(m)

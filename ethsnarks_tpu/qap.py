@@ -1,0 +1,148 @@
+"""R1CS -> QAP: instance map (host, setup-time) and witness map (TPU).
+
+Replaces the fork-libsnark ``r1cs_to_qap_instance_map_with_evaluation`` /
+``r1cs_to_qap_witness_map`` pair (reference hot path, SURVEY.md §3.2).
+
+Domain size is next_pow2(num_constraints + num_inputs + 1); like libsnark,
+the (num_inputs+1) extra virtual rows pin aA[n + j] = w_j (j = 0..num_inputs,
+w_0 = 1) to make the input polynomials linearly independent.
+
+Device witness map: sparse COO matvec (gather -> batched Montgomery mul ->
+segment-sum with lazy modular reduction) followed by the NTT pipeline of
+:mod:`ethsnarks_tpu.ops.ntt`; H coefficients come back in bit-reversed order,
+which the Groth16 generator accounts for by storing the H-query bit-reversed.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .field import SNARK_SCALAR_FIELD
+from .ops.fp import Fr
+from .ops.ntt import get_domain, _mont_np
+
+P = SNARK_SCALAR_FIELD
+
+
+def _next_pow2(n):
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+class QAP(object):
+    """Compiled form of a constraint system for proving."""
+
+    def __init__(self, cs):
+        self.num_constraints = cs.num_constraints
+        self.num_inputs = cs.num_inputs
+        self.num_variables = cs.num_variables  # includes ONE
+        self.domain_size = _next_pow2(self.num_constraints + self.num_inputs + 1)
+        self.domain = get_domain(self.domain_size)
+
+        coo = cs.to_coo()
+        self._coo_host = coo
+        self.dev = {}
+        self.max_terms = {}
+        for name in ('a', 'b', 'c'):
+            rows, cols, coeffs = coo[name]
+            if len(rows) == 0:
+                rows = np.array([0], dtype=np.int64)
+                cols = np.array([0], dtype=np.int64)
+                coeffs = [0]
+            counts = np.bincount(rows, minlength=self.domain_size)
+            self.max_terms[name] = max(1, int(counts.max()))
+            self.dev[name] = (
+                jnp.asarray(rows.astype(np.int32)),
+                jnp.asarray(cols.astype(np.int32)),
+                jnp.asarray(_mont_np(coeffs)),
+            )
+        self._witness_map_jit = jax.jit(self._witness_map)
+
+    # ------------- device witness map -------------
+
+    def _matvec(self, name, witness_mont):
+        """Sparse rows . witness -> (L, domain_size), Montgomery form."""
+        rows, cols, coeffs = self.dev[name]
+        vals = Fr.mul(coeffs, witness_mont[:, cols])  # (L, nnz)
+        sums = jax.ops.segment_sum(
+            vals.T.astype(jnp.uint32), rows,
+            num_segments=self.domain_size).T  # (L, m) lazy
+        t = Fr._carry(sums)
+        mult = 1
+        while mult * 2 < self.max_terms[name]:
+            mult *= 2
+        while mult >= 1:
+            t = Fr._cond_sub_multiple(t, mult)
+            mult //= 2
+        return t[:Fr.L]
+
+    def _witness_map(self, witness_mont):
+        """witness_mont: (L, num_variables) Montgomery (col 0 = ONE).
+
+        Returns H coefficients (L, domain_size), bit-reversed order."""
+        d = self.domain
+        aA = self._matvec('a', witness_mont)
+        aB = self._matvec('b', witness_mont)
+        aC = self._matvec('c', witness_mont)
+        # Input-consistency rows: aA[n + j] = w_j for j = 0..num_inputs.
+        n = self.num_constraints
+        inputs = witness_mont[:, :self.num_inputs + 1]  # includes ONE
+        aA = jax.lax.dynamic_update_slice(aA, inputs, (0, n))
+
+        cA = d.ifft_evals_to_coeffs_bitrev(aA)
+        cB = d.ifft_evals_to_coeffs_bitrev(aB)
+        cC = d.ifft_evals_to_coeffs_bitrev(aC)
+        eA = d.coset_fft_coeffs_bitrev_to_evals(cA)
+        eB = d.coset_fft_coeffs_bitrev_to_evals(cB)
+        eC = d.coset_fft_coeffs_bitrev_to_evals(cC)
+        h_evals = d.divide_by_z_on_coset(Fr.sub(Fr.mul(eA, eB), eC))
+        return d.icoset_fft_evals_to_coeffs_bitrev(h_evals)
+
+    def witness_map_device(self, witness_values):
+        """Host ints -> device H coefficients (bitrev).  Returns jax array."""
+        w = Fr.to_mont_jit(Fr.to_limbs(witness_values))
+        return self._witness_map_jit(w)
+
+    # ------------- host instance map (setup time, exact) -------------
+
+    def instance_map(self, t):
+        """Evaluate A_i(t), B_i(t), C_i(t) for every variable, plus Z(t).
+
+        Returns (At, Bt, Ct, Zt) as python-int lists/scalars."""
+        m = self.domain_size
+        omega = self.domain.omega
+        Zt = (pow(t, m, P) - 1) % P
+        # Lagrange: L_i(t) = (Z(t)/m) * omega^i / (t - omega^i).
+        zt_over_m = Zt * pow(m, -1, P) % P
+        omega_pows = [1] * m
+        for i in range(1, m):
+            omega_pows[i] = omega_pows[i - 1] * omega % P
+        # batch inversion of (t - omega^i)
+        diffs = [(t - w) % P for w in omega_pows]
+        if any(x == 0 for x in diffs):
+            raise ValueError("t is in the domain; resample")
+        prefix = [1] * (m + 1)
+        for i in range(m):
+            prefix[i + 1] = prefix[i] * diffs[i] % P
+        inv_all = pow(prefix[m], -1, P)
+        inv_diffs = [0] * m
+        for i in range(m - 1, -1, -1):
+            inv_diffs[i] = inv_all * prefix[i] % P
+            inv_all = inv_all * diffs[i] % P
+        u = [zt_over_m * omega_pows[i] % P * inv_diffs[i] % P for i in range(m)]
+
+        nv = self.num_variables
+        At = [0] * nv
+        Bt = [0] * nv
+        Ct = [0] * nv
+        for name, target in (('a', At), ('b', Bt), ('c', Ct)):
+            rows, cols, coeffs = self._coo_host[name]
+            for r, c, v in zip(rows, cols, coeffs):
+                target[c] = (target[c] + v * u[r]) % P
+        # input consistency rows
+        n = self.num_constraints
+        for j in range(self.num_inputs + 1):
+            At[j] = (At[j] + u[n + j]) % P
+        return At, Bt, Ct, Zt
