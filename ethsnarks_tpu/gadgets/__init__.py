@@ -12,3 +12,4 @@ from .basics import (  # noqa: F401
     lookup_signed_3bit_gadget, IsNonZero, field2bits_strict, one_of_n,
     packing_gadget, boolean_constrain)
 from .poseidon import Poseidon_gadget  # noqa: F401
+from .arith import comparison_gadget, subadd_gadget, shamir_poly  # noqa: F401
