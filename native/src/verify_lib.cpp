@@ -1,0 +1,162 @@
+// Groth16 verification library: vk/proof JSON -> accept/reject.
+//
+// Native analogue of src/verify.cpp + src/verify_dll.cpp: exports the C ABI
+//   bool ethsnarks_verify(const char *vk_json, const char *proof_json)
+// consumed via ctypes by ethsnarks_tpu.verifier.NativeVerifier.  Formats are
+// identical to the Python/EVM conventions (G2 coefficients c1-first).
+
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "json.hpp"
+#include "pairing.hpp"
+
+namespace ethsnarks {
+
+// ---- hex / decimal big-int parsing into 4x64 words (mod q fits) ----
+
+static bool parse_bigint_words(const std::string &text, uint64_t out[4]) {
+    std::string s = text;
+    out[0] = out[1] = out[2] = out[3] = 0;
+    bool hex = false;
+    size_t i = 0;
+    if (s.size() >= 2 && s[0] == '0' && (s[1] == 'x' || s[1] == 'X')) {
+        hex = true;
+        i = 2;
+    }
+    if (hex) {
+        for (; i < s.size(); ++i) {
+            char c = s[i];
+            int d;
+            if (c >= '0' && c <= '9') d = c - '0';
+            else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+            else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+            else return false;
+            // out = out*16 + d
+            uint64_t carry = (uint64_t)d;
+            for (int j = 0; j < 4; ++j) {
+                uint128_t cur = ((uint128_t)out[j] << 4) | carry;
+                out[j] = (uint64_t)cur;
+                carry = (uint64_t)(cur >> 64);
+            }
+            if (carry) return false;  // > 256 bits
+        }
+    } else {
+        for (; i < s.size(); ++i) {
+            char c = s[i];
+            if (c < '0' || c > '9') return false;
+            uint64_t carry = (uint64_t)(c - '0');
+            for (int j = 0; j < 4; ++j) {
+                uint128_t cur = (uint128_t)out[j] * 10 + carry;
+                out[j] = (uint64_t)cur;
+                carry = (uint64_t)(cur >> 64);
+            }
+            if (carry) return false;
+        }
+    }
+    return true;
+}
+
+static bool parse_fq(const json::ValuePtr &v, Fq &out) {
+    if (!v || v->type != json::Value::STRING) return false;
+    uint64_t w[4];
+    if (!parse_bigint_words(v->str, w)) return false;
+    // reduce mod q if necessary (values should already be < q)
+    while (Fq::geq(w, Fq::Q)) {
+        uint64_t t[4];
+        Fq::sub_limbs(t, w, Fq::Q);
+        std::memcpy(w, t, sizeof(t));
+    }
+    out = Fq::from_words(w);
+    return true;
+}
+
+static bool parse_g1(const json::ValuePtr &v, G1 &out) {
+    if (!v || v->type != json::Value::ARRAY || v->arr.size() < 2) return false;
+    Fq x, y;
+    if (!parse_fq(v->arr[0], x) || !parse_fq(v->arr[1], y)) return false;
+    out = G1(x, y);
+    return g1_on_curve(out);
+}
+
+static bool parse_g2(const json::ValuePtr &v, G2 &out) {
+    // [[x.c1, x.c0], [y.c1, y.c0]]
+    if (!v || v->type != json::Value::ARRAY || v->arr.size() != 2) return false;
+    const auto &xs = v->arr[0];
+    const auto &ys = v->arr[1];
+    if (xs->type != json::Value::ARRAY || xs->arr.size() != 2) return false;
+    if (ys->type != json::Value::ARRAY || ys->arr.size() != 2) return false;
+    Fq2 x, y;
+    if (!parse_fq(xs->arr[1], x.c[0]) || !parse_fq(xs->arr[0], x.c[1]))
+        return false;
+    if (!parse_fq(ys->arr[1], y.c[0]) || !parse_fq(ys->arr[0], y.c[1]))
+        return false;
+    out = G2(x, y);
+    return g2_on_curve(out);
+}
+
+// scalar as 4x64 words (for input multiplication)
+static bool parse_scalar_words(const json::ValuePtr &v, uint64_t out[4]) {
+    if (!v || v->type != json::Value::STRING) return false;
+    return parse_bigint_words(v->str, out);
+}
+
+bool verify_json(const char *vk_json, const char *proof_json) {
+    try {
+        json::Parser vkp(vk_json ? vk_json : "");
+        json::Parser prp(proof_json ? proof_json : "");
+        auto vk = vkp.parse();
+        auto proof = prp.parse();
+        if (vk->type != json::Value::OBJECT ||
+            proof->type != json::Value::OBJECT)
+            return false;
+
+        G1 alpha;
+        G2 beta, gamma, delta;
+        if (!parse_g1(vk->obj["alpha"], alpha)) return false;
+        if (!parse_g2(vk->obj["beta"], beta)) return false;
+        if (!parse_g2(vk->obj["gamma"], gamma)) return false;
+        if (!parse_g2(vk->obj["delta"], delta)) return false;
+        auto gabc = vk->obj["gammaABC"];
+        if (!gabc || gabc->type != json::Value::ARRAY || gabc->arr.empty())
+            return false;
+        std::vector<G1> gamma_abc;
+        for (auto &pt : gabc->arr) {
+            G1 g;
+            if (!parse_g1(pt, g)) return false;
+            gamma_abc.push_back(g);
+        }
+
+        G1 a, c;
+        G2 b;
+        if (!parse_g1(proof->obj["A"], a)) return false;
+        if (!parse_g2(proof->obj["B"], b)) return false;
+        if (!parse_g1(proof->obj["C"], c)) return false;
+        auto inputs = proof->obj["input"];
+        if (!inputs || inputs->type != json::Value::ARRAY) return false;
+        if (inputs->arr.size() + 1 != gamma_abc.size()) return false;
+
+        G1 vk_x = gamma_abc[0];
+        for (size_t i = 0; i < inputs->arr.size(); ++i) {
+            uint64_t w[4];
+            if (!parse_scalar_words(inputs->arr[i], w)) return false;
+            vk_x = pt_add(vk_x, pt_mul(gamma_abc[i + 1], w, 4));
+        }
+
+        std::vector<std::pair<G1, G2>> pairs;
+        pairs.emplace_back(a, b);
+        pairs.emplace_back(pt_neg(vk_x), gamma);
+        pairs.emplace_back(pt_neg(c), delta);
+        pairs.emplace_back(pt_neg(alpha), beta);
+        return pairing_product_is_one(pairs);
+    } catch (...) {
+        return false;
+    }
+}
+
+}  // namespace ethsnarks
+
+extern "C" bool ethsnarks_verify(const char *vk_json, const char *proof_json) {
+    return ethsnarks::verify_json(vk_json, proof_json);
+}
