@@ -88,7 +88,16 @@ G2F = _G2Field()
 
 
 def point_add(F, p, q):
-    """Complete addition (RCB15 alg. 7, a=0): p, q are (X, Y, Z) triples."""
+    """Complete addition (RCB15 alg. 7, a=0): p, q are (X, Y, Z) triples.
+
+    On TPU backends the addition routes through the fused Pallas kernels
+    (ops/pallas_ops.py) - one custom call instead of ~4k HLO."""
+    from . import pallas_ops
+    if pallas_ops.use_pallas():
+        if F is G1F:
+            return pallas_ops.g1_point_add_pallas(p, q)
+        if F is G2F:
+            return pallas_ops.g2_point_add_pallas(p, q)
     x1, y1, z1 = p
     x2, y2, z2 = q
     t0 = F.mul(x1, x2)
@@ -123,6 +132,12 @@ def point_add(F, p, q):
 
 def point_double(F, p):
     """Complete doubling (RCB15 alg. 9, a=0): 6M + 2S + 1 b3-mul."""
+    from . import pallas_ops
+    if pallas_ops.use_pallas():
+        if F is G1F:
+            return pallas_ops.g1_point_double_pallas(p)
+        if F is G2F:
+            return pallas_ops.g2_point_double_pallas(p)
     x, y, z = p
     t0 = F.mul(y, y)
     z3 = F.add(t0, t0)
