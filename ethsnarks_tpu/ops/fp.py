@@ -102,6 +102,28 @@ class Fp:
             return vals
         return np.array(vals, dtype=object).reshape(limbs.shape[1:]).tolist()
 
+    def from_limbs_fast(self, limbs):
+        """Vectorized from_limbs: uint32 (L, *batch) -> object ndarray of
+        python ints with the batch shape (20 numpy passes, no per-element
+        python loop)."""
+        arr = np.asarray(limbs)
+        out = np.zeros(arr.shape[1:], dtype=object)
+        for i in reversed(range(self.L)):
+            out = (out << self.W) + arr[i].astype(object)
+        return out % self.modulus
+
+    def to_limbs_fast(self, values):
+        """Vectorized to_limbs: object/int ndarray (*batch) -> uint32 limbs
+        (L, *batch)."""
+        arr = np.asarray(values, dtype=object) % self.modulus
+        out = np.zeros((self.L,) + arr.shape, dtype=np.uint32)
+        mask = (1 << self.W) - 1
+        cur = arr
+        for i in range(self.L):
+            out[i] = (cur & mask).astype(np.uint32)
+            cur = cur >> self.W
+        return out
+
     def constant_mont(self, value, batch_shape=()):
         """Host int -> Montgomery-form limb array broadcast over batch_shape."""
         m = (int(value) % self.modulus) * self.R_mod % self.modulus  # value*R

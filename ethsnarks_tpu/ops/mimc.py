@@ -86,3 +86,66 @@ def mimc_hash_device(msgs, k=0):
     km = Fr.to_mont_jit(Fr.to_limbs([int(k)] * n))
     out = _mimc_e7_mp_jit(xs, km)
     return Fr.from_limbs(np.asarray(Fr.from_mont_jit(out)))
+
+
+def mimc_permutation_trace(x, k, constants, e=DEFAULT_EXPONENT):
+    """Like mimc_permutation but also returns the per-round intermediate
+    values the circuit gadget allocates (t2, t4[, t6], round output) -
+    the device-side witness generator for templated MiMC circuits.
+
+    Returns (final, trace) with trace shape (R, n_aux, L, B), n_aux = 4 for
+    e=7 (t2, t4, t6, out) or 3 for e=5 (t2, t4, out); the last round's "out"
+    entry includes the +k (matching the gadget's add_k_to_result)."""
+    R = constants.shape[0]
+
+    def round_fn(carry, inp):
+        state, idx = carry
+        c = inp
+        c_col = c[:, None]
+        t = Fr.add(Fr.add(state, k), jnp.broadcast_to(c_col, state.shape))
+        t2 = Fr.mul(t, t)
+        t4 = Fr.mul(t2, t2)
+        if e == 7:
+            t6 = Fr.mul(t2, t4)
+            out = Fr.mul(t6, t)
+        else:
+            out = Fr.mul(t4, t)
+        is_last = (idx == R - 1)
+        out_k = Fr.add(out, k)
+        out_final = jnp.where(is_last, out_k, out)
+        if e == 7:
+            aux = jnp.stack([t2, t4, t6, out_final])
+        else:
+            aux = jnp.stack([t2, t4, out_final])
+        return (out_final, idx + 1), aux
+
+    (final, _), trace = lax.scan(round_fn, (x, jnp.int32(0)), constants)
+    return final, trace
+
+
+def mimc_mp_witness_device(left, right, iv, seed=DEFAULT_SEED,
+                           R=DEFAULT_ROUNDS):
+    """Vectorized witness for one MiMC-MP(left, right) tree level.
+
+    left/right: (L, B) Montgomery Fr; iv: int or (L, B) Montgomery array.
+    Returns (out (L,B) Montgomery, aux (8R+2, L, B)): both cipher traces
+    plus the two MP chaining values - exactly the variables
+    MiyaguchiPreneel_OWF allocates, in allocation order."""
+    constants = jnp.asarray(_round_constants_mont(seed, R))
+    if isinstance(iv, int):
+        k0 = Fr.constant_mont(iv, left.shape[1:])
+        k0 = jnp.broadcast_to(jnp.asarray(k0), left.shape).astype(jnp.uint32)
+    else:
+        k0 = iv
+    c1, tr1 = mimc_permutation_trace(left, k0, constants)
+    mp1 = Fr.add(Fr.add(k0, left), c1)
+    c2, tr2 = mimc_permutation_trace(right, mp1, constants)
+    out = Fr.add(Fr.add(mp1, right), c2)
+    # aux order: cipher1 rounds (R,4), mp1, cipher2 rounds, mp2(=out)
+    aux = jnp.concatenate([
+        tr1.reshape(R * 4, *left.shape),
+        mp1[None],
+        tr2.reshape(R * 4, *left.shape),
+        out[None],
+    ], axis=0)
+    return out, aux
