@@ -10,8 +10,12 @@ libsnark/mcl Pippenger rate for 2^20-point BN254 G1 MSMs (order-of-magnitude
 anchor, documented in BASELINE.md table: prover asymptotics row).
 
 Env knobs:
-  BENCH_MSM_SIZE   log2 number of points (default 20)
-  BENCH_MSM_C      Pippenger window bits (default 13)
+  BENCH_MSM_SIZE   log2 number of points (default 18; the 2^20 north-star
+                   run is BENCH_MSM_SIZE=20 BENCH_MSM_C=13 - the first
+                   compile of that graph on a cold cache takes tens of
+                   minutes on the axon remote-compile service, so the
+                   default is sized to finish reliably)
+  BENCH_MSM_C      Pippenger window bits (default 10)
   BENCH_REPS       timed repetitions (default 3)
 """
 
@@ -39,8 +43,8 @@ BASELINE_POINTS_PER_SEC = 1.0e6
 
 
 def main():
-    log_n = int(os.environ.get("BENCH_MSM_SIZE", "20"))
-    c = int(os.environ.get("BENCH_MSM_C", "13"))
+    log_n = int(os.environ.get("BENCH_MSM_SIZE", "18"))
+    c = int(os.environ.get("BENCH_MSM_C", "10"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     n = 1 << log_n
 

@@ -21,6 +21,7 @@ import secrets
 
 import numpy as np
 
+
 from .field import SNARK_SCALAR_FIELD
 from .qap import QAP
 from . import bn254
@@ -29,6 +30,36 @@ from .bn254 import (
 from .verifier import VerifyingKey, Proof
 
 P = SNARK_SCALAR_FIELD
+
+
+class Config(object):
+    """Prover runtime tuning (parity: libsnark::Config, prover_config.hpp).
+
+    Knobs that exist on TPU map directly; CPU-cache knobs are accepted for
+    API compatibility and ignored (documented):
+
+    - multi_exp_c: Pippenger window bits override (None = size heuristic)
+    - fft: 'dif_dit' (the only engine; 'basic_radix2'/'recursive' accepted
+      as aliases for compatibility)
+    - swapAB: evaluate B-query via swapped operand order (accepted, no-op -
+      the TPU matvec is order-insensitive)
+    - num_threads/smt/prefetch_*/multi_exp_look_ahead: CPU-only knobs,
+      ignored.
+    """
+
+    def __init__(self, multi_exp_c=None, fft='dif_dit', swapAB=False,
+                 num_threads=0, smt=False, radixes=(),
+                 multi_exp_prefetch_locality=3, prefetch_stride=0,
+                 multi_exp_look_ahead=1):
+        self.multi_exp_c = multi_exp_c
+        self.fft = fft
+        self.swapAB = swapAB
+        self.num_threads = num_threads
+        self.smt = smt
+        self.radixes = tuple(radixes)
+        self.multi_exp_prefetch_locality = multi_exp_prefetch_locality
+        self.prefetch_stride = prefetch_stride
+        self.multi_exp_look_ahead = multi_exp_look_ahead
 
 
 class _FixedBaseMul(object):
@@ -158,11 +189,40 @@ class ProverContext(object):
     use_device_msm: route the four MSMs through ops.msm (TPU); otherwise an
     exact host Pippenger-free fallback is used."""
 
-    def __init__(self, pk, cs, use_device_msm=True):
+    def __init__(self, pk, cs, use_device_msm=True, config=None):
         self.pk = pk
         self.qap = QAP(cs)
         self.use_device_msm = use_device_msm
+        self.config = config or Config()
         self._device_keys = None
+        if use_device_msm:
+            self._prepare_device_keys()
+
+    def _prepare_device_keys(self):
+        """Move key queries to the device ONCE (ProverContext semantics:
+        the pk shards live on-chip across proofs)."""
+        import jax.numpy as jnp
+        from .ops import curve as curve_ops
+        pk = self.pk
+        self._a_idx = np.array([i for i, _ in pk.a_query], dtype=np.int64)
+        self._a_pts = tuple(jnp.asarray(x) for x in curve_ops.g1_to_device(
+            [pt for _, pt in pk.a_query]))
+        self._b_idx = np.array([i for i, _ in pk.b_query], dtype=np.int64)
+        b_dev = curve_ops.g2_to_device([pt for _, pt in pk.b_query])
+        self._b_pts = tuple(tuple(jnp.asarray(c) for c in coord)
+                            for coord in b_dev)
+        self._h_pts = tuple(jnp.asarray(x) for x in curve_ops.g1_to_device(
+            pk.h_query_bitrev))
+        self._l_pts = tuple(jnp.asarray(x) for x in curve_ops.g1_to_device(
+            pk.l_query))
+        import jax
+        from .ops import msm as msm_ops
+        from .ops.fp import Fr
+        c_h = self._pick_c(len(pk.h_query_bitrev))
+        self._h_c = c_h
+        self._h_digit_fn = jax.jit(
+            lambda hm: msm_ops.window_digits_device(Fr.from_mont(hm), c_h))
+        self._device_keys = True
 
     # ----- host MSM fallback -----
 
@@ -175,47 +235,66 @@ class ProverContext(object):
                 out = add(out, multiply(pt, s))
         return out
 
-    def _device_msm_g1(self, pairs):
+    def _pick_c(self, n):
         from .ops import msm as msm_ops
-        scalars = [s for s, _ in pairs]
-        points = [pt for _, pt in pairs]
-        return msm_ops.msm_g1_host_api(scalars, points)
-
-    def _device_msm_g2(self, pairs):
-        from .ops import msm as msm_ops
-        scalars = [s for s, _ in pairs]
-        points = [pt for _, pt in pairs]
-        return msm_ops.msm_g2_host_api(scalars, points)
+        return self.config.multi_exp_c or msm_ops.default_window_bits(n)
 
     def prove(self, witness_values, primary_input=None):
-        """witness_values: full assignment [1, x_1.., aux..] (python ints)."""
+        """witness_values: full assignment [1, x_1.., aux..] (python ints).
+
+        Device path: key queries are device-resident (prepared once); the H
+        scalars never leave the device (witness map -> from_mont -> digit
+        extraction -> MSM all on-chip)."""
         pk = self.pk
         ni = pk.num_inputs
         w = [int(v) % P for v in witness_values]
         assert w[0] == 1
 
-        # H coefficients via the device witness map (bitrev order).
-        h_bitrev_mont = self.qap.witness_map_device(w)
-        from .ops.fp import Fr
-        h_bitrev = Fr.from_limbs(np.asarray(Fr.from_mont_jit(h_bitrev_mont)))
-
-        a_pairs = [(w[i], pt) for i, pt in pk.a_query]
-        b_pairs = [(w[i], pt) for i, pt in pk.b_query]
-        h_pairs = [(h_bitrev[p], pt)
-                   for p, pt in enumerate(pk.h_query_bitrev) if pt is not None]
-        l_pairs = [(w[ni + 1 + j], pt)
-                   for j, pt in enumerate(pk.l_query) if pt is not None]
-
-        if self.use_device_msm:
-            a_eval = self._device_msm_g1(a_pairs)
-            b_eval = self._device_msm_g2(b_pairs)
-            h_eval = self._device_msm_g1(h_pairs)
-            l_eval = self._device_msm_g1(l_pairs)
-        else:
+        if not self.use_device_msm:
+            from .ops.fp import Fr
+            h_bitrev_mont = self.qap.witness_map_device(w)
+            h_bitrev = Fr.from_limbs(
+                np.asarray(Fr.from_mont_jit(h_bitrev_mont)))
+            a_pairs = [(w[i], pt) for i, pt in pk.a_query]
+            b_pairs = [(w[i], pt) for i, pt in pk.b_query]
+            h_pairs = [(h_bitrev[p], pt)
+                       for p, pt in enumerate(pk.h_query_bitrev)
+                       if pt is not None]
+            l_pairs = [(w[ni + 1 + j], pt)
+                       for j, pt in enumerate(pk.l_query) if pt is not None]
             a_eval = self._host_msm(a_pairs)
             b_eval = self._host_msm(b_pairs)
             h_eval = self._host_msm(h_pairs)
             l_eval = self._host_msm(l_pairs)
+        else:
+            from .ops import msm as msm_ops
+            from .ops import curve as curve_ops
+            from .ops.fp import Fr
+            w_np = np.asarray(w, dtype=object)
+
+            h_bitrev_mont = self.qap.witness_map_device(w)
+            h_digits = self._h_digit_fn(h_bitrev_mont)
+            h_res = msm_ops.msm_g1_device(self._h_pts, h_digits, self._h_c)
+            h_eval = curve_ops.g1_from_device(h_res)[0]
+
+            a_digits = msm_ops.window_digits_host_np(
+                w_np[self._a_idx], self._pick_c(len(self._a_idx)))
+            a_res = msm_ops.msm_g1_device(
+                self._a_pts, a_digits, self._pick_c(len(self._a_idx)))
+            a_eval = curve_ops.g1_from_device(a_res)[0]
+
+            b_digits = msm_ops.window_digits_host_np(
+                w_np[self._b_idx], self._pick_c(len(self._b_idx)))
+            b_res = msm_ops.msm_g2_device(
+                self._b_pts, b_digits, self._pick_c(len(self._b_idx)))
+            b_eval = curve_ops.g2_from_device(b_res)[0]
+
+            l_scalars = w_np[ni + 1:]
+            l_digits = msm_ops.window_digits_host_np(
+                l_scalars, self._pick_c(len(l_scalars)))
+            l_res = msm_ops.msm_g1_device(
+                self._l_pts, l_digits, self._pick_c(len(l_scalars)))
+            l_eval = curve_ops.g1_from_device(l_res)[0]
 
         g_a = add(pk.alpha_g1, a_eval)
         g_b = add(pk.beta_g2, b_eval)

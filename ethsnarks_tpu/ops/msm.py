@@ -188,3 +188,36 @@ def msm_g2_host_api(scalars, points, c=None):
     dev = curve.g2_to_device(points)
     res = msm_g2_device(dev, digits, c)
     return curve.g2_from_device(res)[0]
+
+
+def window_digits_host_np(scalars, c):
+    """Vectorized digit extraction: object ndarray / list of ints -> (W, B)
+    uint32 (no per-scalar python loop; ~W object passes)."""
+    arr = np.asarray(scalars, dtype=object)
+    n_windows = (254 + c - 1) // c
+    mask = (1 << c) - 1
+    out = np.zeros((n_windows, arr.shape[0]), dtype=np.uint32)
+    cur = arr
+    for w in range(n_windows):
+        out[w] = (cur & mask).astype(np.uint32)
+        cur = cur >> c
+    return out
+
+
+def window_digits_device(plain_limbs, c):
+    """Digit extraction on device from canonical 13-bit limbs (L, B) ->
+    (W, B) uint32.  c <= 13 so each window spans at most two limbs."""
+    from .fp import LIMB_BITS, NUM_LIMBS
+    assert c <= LIMB_BITS
+    n_windows = (254 + c - 1) // c
+    mask = jnp.uint32((1 << c) - 1)
+    rows = []
+    for w in range(n_windows):
+        lo_bit = w * c
+        i0 = lo_bit // LIMB_BITS
+        sh = lo_bit % LIMB_BITS
+        d = plain_limbs[i0] >> jnp.uint32(sh)
+        if sh + c > LIMB_BITS and i0 + 1 < NUM_LIMBS:
+            d = d | (plain_limbs[i0 + 1] << jnp.uint32(LIMB_BITS - sh))
+        rows.append(d & mask)
+    return jnp.stack(rows)

@@ -224,6 +224,20 @@ class ConstraintSystem(object):
         return out
 
 
+def dump_pb_r1cs_constraints(cs, limit=None, out=None):
+    """Annotated constraint dump (parity: src/utils.cpp:342-368 DEBUG aid)."""
+    import sys
+    out = out or sys.stdout
+    for i, cons in enumerate(cs.constraints[:limit]):
+        out.write("constraint %d (%s):\n" % (i, cons.annotation))
+        for name, lc in (('A', cons.a), ('B', cons.b), ('C', cons.c)):
+            terms = ' + '.join(
+                '%s*%s' % (v, cs.annotations[k] if k < len(cs.annotations)
+                           else 'v%d' % k)
+                for k, v in sorted(lc.terms.items()))
+            out.write("  %s: %s\n" % (name, terms or '0'))
+
+
 # Reference-compatible aliases.
 Protoboard = ConstraintSystem
 
