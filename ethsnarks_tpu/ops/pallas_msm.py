@@ -1,0 +1,302 @@
+"""Fused Pallas MSM stages: whole-tile segmented scan and bucket fold.
+
+Why: the generic MSM graph (ops/msm.py) contains dozens of separate Pallas
+point-op call sites (associative-scan levels, bucket-fold tree levels); the
+axon remote-compile service charges ~10s per site, making 2^20-scale graphs
+take tens of minutes to compile.  Here each MSM stage is ONE kernel:
+
+  K_scan : per-tile segmented inclusive scan (Blelloch up+down sweep fully
+           unrolled inside the kernel, all in VMEM),
+  K_apply: fold the carry (exclusive prefix of previous tiles) into a tile,
+  K_fold : the whole weighted bucket reduction (bit-plane tree + Horner)
+           for one window in a single kernel.
+
+Composition (host-driven, per window):
+  sort -> K_scan over tiles -> aggregate scan (recursive K_scan) -> K_apply
+  -> bucket scatter (XLA) -> K_fold -> window Horner (host or K_double loop).
+
+G1 only (the prover's three big MSMs); G2 stays on the generic path.
+Bit-exactness: pinned against ops/msm.py on CPU-interpret and against the
+host oracle on TPU.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .pallas_ops import (
+    _HAS_PALLAS, L, _mk_field_ops, _g1_consts, _g1_add_body, use_pallas)
+
+if _HAS_PALLAS:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512
+
+
+def _seg_combine(body_add, k1, p1, k2, p2):
+    """Segmented-scan monoid on sorted keys: (k2, p1+p2 if k1==k2 else p2).
+
+    keys are (1, T') int32; points are coord-triples of (L, T')."""
+    merged = body_add(*p1, *p2)
+    same = (k1 == k2)
+    out = tuple(jnp.where(same, m, q) for m, q in zip(merged, p2))
+    return k2, out
+
+
+@lru_cache(maxsize=None)
+def _k_scan(n_tiles):
+    """Per-tile segmented inclusive scan kernel.
+
+    Inputs: keys (1, n_tiles*T) int32, coords x/y/z (L, n_tiles*T).
+    Outputs: scanned coords (same shapes).  Tile aggregates are simply the
+    last lane of each tile in the scanned output (sliced host-side)."""
+
+    def kernel(consts, keys, x, y, z, ox, oy, oz):
+        body = _g1_add_body(consts[:])
+        k = keys[:]                     # (1, T)
+        p = (x[:], y[:], z[:])          # each (L, T)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+        one = p[1] * jnp.uint32(0) + consts[:L, 7:8]
+
+        # Hillis-Steele inclusive segmented scan within the tile (all VMEM).
+        # Lane shifts use pltpu.roll + iota masks: Mosaic rejects lane-axis
+        # concatenation at unaligned offsets.
+        shift = 1
+        while shift < TILE:
+            valid = lane >= shift
+            k_prev = jnp.where(valid, pltpu.roll(k, shift, 1),
+                               jnp.int32(-1))
+            px = jnp.where(valid, pltpu.roll(p[0], shift, 1),
+                           p[0] * jnp.uint32(0))
+            py = jnp.where(valid, pltpu.roll(p[1], shift, 1), one)
+            pz = jnp.where(valid, pltpu.roll(p[2], shift, 1),
+                           p[2] * jnp.uint32(0))
+            merged = body(px, py, pz, *p)
+            same = (k_prev == k)
+            p = tuple(jnp.where(same, m, q) for m, q in zip(merged, p))
+            shift *= 2
+
+        ox[:], oy[:], oz[:] = p
+
+    total = n_tiles * TILE
+    kspec = pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[cspec, kspec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((L, total), jnp.uint32)] * 3,
+    )
+
+
+@lru_cache(maxsize=None)
+def _k_apply(n_tiles):
+    """Combine each tile's elements with the exclusive carry of previous
+    tiles.  Carries are passed as full (L, n_tiles) arrays (whole-array
+    blocks) and indexed by program id inside the kernel."""
+
+    def kernel(consts, keys, x, y, z, cx, cy, cz, ck, ox, oy, oz):
+        body = _g1_add_body(consts[:])
+        j = pl.program_id(0)
+        k = keys[:]
+        p = (x[:], y[:], z[:])
+        carry_k = ck[:, pl.ds(j, 1)]                 # (1, 1)
+        carry = (cx[:, pl.ds(j, 1)], cy[:, pl.ds(j, 1)], cz[:, pl.ds(j, 1)])
+        merged = body(carry[0], carry[1], carry[2], *p)
+        same = (carry_k == k)
+        out = tuple(jnp.where(same, m, q) for m, q in zip(merged, p))
+        ox[:], oy[:], oz[:] = out
+
+    total = n_tiles * TILE
+    kspec = pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec((L, n_tiles), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    carryk_spec = pl.BlockSpec((1, n_tiles), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[cspec, kspec, spec, spec, spec,
+                  carry_spec, carry_spec, carry_spec, carryk_spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((L, total), jnp.uint32)] * 3,
+    )
+
+
+@lru_cache(maxsize=None)
+def _k_fold(c):
+    """Whole weighted bucket fold in one kernel: buckets (L, 2^c) coords in
+    VMEM -> sum_b b*S_b as a single point (L, 1) per coordinate.
+
+    fori over bit planes (MSB first), each plane a fully unrolled masked
+    tree reduction; Horner double+add between planes."""
+    n_buckets = 1 << c
+
+    def kernel(consts, x, y, z, ox, oy, oz):
+        body = _g1_add_body(consts[:])
+        from .pallas_ops import _g1_double_body
+        dbl = _g1_double_body(consts[:])
+        bx, by, bz = x[:], y[:], z[:]
+        one_full = by * jnp.uint32(0) + consts[:L, 7:8]
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n_buckets), 1)
+
+        def plane(k, acc):
+            # bit index MSB-first: bit = c-1-k
+            bit = jnp.uint32(c - 1) - k.astype(jnp.uint32)
+            mask = ((idx >> bit) & 1) != 0
+            # masked-out lanes become the identity (0, 1, 0)
+            px = jnp.where(mask, bx, bx * jnp.uint32(0))
+            py = jnp.where(mask, by, one_full)
+            pz = jnp.where(mask, bz, bz * jnp.uint32(0))
+            n = n_buckets
+            cur = (px, py, pz)
+            while n > 1:
+                half = n // 2
+                lo = tuple(t[:, :half] for t in cur)
+                hi = tuple(t[:, half:n] for t in cur)
+                cur = body(*lo, *hi)
+                n = half
+            ax, ay, az = acc
+            ax, ay, az = dbl(ax, ay, az)
+            return body(ax, ay, az, cur[0], cur[1], cur[2])
+
+        acc = (bx[:, :1] * jnp.uint32(0), one_full[:, :1],
+               bz[:, :1] * jnp.uint32(0))
+        acc = jax.lax.fori_loop(0, c, plane, acc)
+        ox[:], oy[:], oz[:] = acc
+
+    cspec = pl.BlockSpec((L + 1, 8), lambda: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, n_buckets), lambda: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[cspec, spec, spec, spec],
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((L, 1), jnp.uint32)] * 3,
+    )
+
+
+def _one_mont_col():
+    from .fp import Fq as FqCtx
+    return FqCtx.one_mont_limbs.reshape(L, 1)
+
+
+def _bcast_one(like):
+    one = jnp.asarray(_one_mont_col(), dtype=jnp.uint32)
+    return like * jnp.uint32(0) + one
+
+
+# ---------------- host-driven composition ----------------
+
+def _pad_to_tiles(keys, pts):
+    """Pad (B,) keys / (L, B) coords to a TILE multiple: key -1 (never
+    merges), point = identity."""
+    b = keys.shape[0]
+    pad = (-b) % TILE
+    if pad == 0:
+        return keys, pts, b
+    keys = jnp.concatenate(
+        [keys, jnp.full((pad,), -1, dtype=keys.dtype)])
+    x, y, z = pts
+    zero = jnp.zeros((L, pad), dtype=x.dtype)
+    one = jnp.broadcast_to(
+        jnp.asarray(_one_mont_col(), dtype=jnp.uint32), (L, pad))
+    pts = (jnp.concatenate([x, zero], axis=1),
+           jnp.concatenate([y, one], axis=1),
+           jnp.concatenate([z, zero], axis=1))
+    return keys, pts, b
+
+
+def _seg_scan_fused(keys, pts):
+    """Inclusive segmented scan of (keys (B,), coords (L, B)) via the fused
+    tile kernels; returns scanned coords (L, B)."""
+    keys_p, pts_p, orig_b = _pad_to_tiles(keys, pts)
+    n_tiles = keys_p.shape[0] // TILE
+    consts = jnp.asarray(_g1_consts())
+    sx, sy, sz = _k_scan(n_tiles)(
+        consts, keys_p[None].astype(jnp.int32), *pts_p)
+    if n_tiles == 1:
+        return (sx[:, :orig_b], sy[:, :orig_b], sz[:, :orig_b])
+    # tile aggregates = last lane of each tile (sliced outside pallas)
+    ax = sx[:, TILE - 1::TILE]
+    ay = sy[:, TILE - 1::TILE]
+    az = sz[:, TILE - 1::TILE]
+    ak = keys_p[None, TILE - 1::TILE]
+    # scan the aggregates recursively (they are "sorted" in the sense the
+    # monoid needs: non-decreasing except padded -1 tails, which never match)
+    agg_scanned = _seg_scan_fused(ak[0], (ax, ay, az))
+    # exclusive carries: shift right one tile; tile 0 gets the identity
+    zero = jnp.zeros((L, 1), dtype=sx.dtype)
+    one = jnp.asarray(_one_mont_col(), dtype=jnp.uint32)
+    cx = jnp.concatenate([zero, agg_scanned[0][:, :n_tiles - 1]], axis=1)
+    cy = jnp.concatenate([one, agg_scanned[1][:, :n_tiles - 1]], axis=1)
+    cz = jnp.concatenate([zero, agg_scanned[2][:, :n_tiles - 1]], axis=1)
+    ck = jnp.concatenate(
+        [jnp.full((1, 1), -2, dtype=jnp.int32),
+         ak[:, :n_tiles - 1].astype(jnp.int32)], axis=1)
+    ox, oy, oz = _k_apply(n_tiles)(
+        consts, keys_p[None].astype(jnp.int32), sx, sy, sz, cx, cy, cz, ck)
+    return (ox[:, :orig_b], oy[:, :orig_b], oz[:, :orig_b])
+
+
+@lru_cache(maxsize=None)
+def _jit_sort_gather(b):
+    def run(keys, x, y, z):
+        iota = jnp.arange(b, dtype=jnp.int32)
+        sk, order = jax.lax.sort_key_val(keys.astype(jnp.int32), iota)
+        return sk, (jnp.take(x, order, axis=1),
+                    jnp.take(y, order, axis=1),
+                    jnp.take(z, order, axis=1))
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _jit_bucket_extract(b, n_buckets):
+    def run(sorted_keys, sx, sy, sz):
+        is_last = jnp.concatenate(
+            [sorted_keys[1:] != sorted_keys[:-1],
+             jnp.ones((1,), dtype=bool)])
+        target = jnp.where(is_last, sorted_keys, n_buckets)
+        one = jnp.asarray(_one_mont_col(), dtype=jnp.uint32)
+        bx = jnp.zeros((L, n_buckets + 1), dtype=jnp.uint32)
+        by = jnp.broadcast_to(one, (L, n_buckets + 1)).astype(jnp.uint32)
+        bz = jnp.zeros((L, n_buckets + 1), dtype=jnp.uint32)
+        bx = bx.at[:, target].set(sx)
+        by = by.at[:, target].set(sy)
+        bz = bz.at[:, target].set(sz)
+        return bx[:, :n_buckets], by[:, :n_buckets], bz[:, :n_buckets]
+    return jax.jit(run)
+
+
+def msm_g1_fused(points_dev, digits, c):
+    """Fused-kernel G1 MSM: host-driven window loop over per-stage jits.
+
+    points_dev: (X, Y, Z) each (L, B); digits (W, B) uint32.
+    Returns host affine point."""
+    from . import curve as curve_ops
+    from ..bn254 import add as host_add, double as host_double
+    x, y, z = (jnp.asarray(a) for a in points_dev)
+    n_windows, b = digits.shape
+    n_buckets = 1 << c
+    digits = jnp.asarray(digits)
+
+    acc = None
+    for w in range(n_windows - 1, -1, -1):
+        sk, sorted_pts = _jit_sort_gather(b)(digits[w], x, y, z)
+        sx, sy, sz = _seg_scan_fused(sk, sorted_pts)
+        bx, by, bz = _jit_bucket_extract(b, n_buckets)(sk, sx, sy, sz)
+        wx, wy, wz = _k_fold(c)(jnp.asarray(_g1_consts()), bx, by, bz)
+        w_sum = curve_ops.g1_from_device((wx, wy, wz))[0]
+        if acc is not None:
+            for _ in range(c):
+                acc = host_double(acc)
+        acc = host_add(acc, w_sum)
+    return acc

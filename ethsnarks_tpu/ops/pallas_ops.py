@@ -109,12 +109,13 @@ def _ks_sub_var(x, y):
 
 
 class _FieldConsts(object):
-    """Field constants packed as one (L+1, 7) uint32 array passed to kernels:
-    column 0 = N (padded), 1 = N', 2 = N (21 limbs), 3..6 = 8N,4N,2N,1N."""
+    """Field constants packed as one (L+1, 8) uint32 array passed to kernels:
+    column 0 = N (padded), 1 = N', 2 = N (21 limbs), 3..6 = 8N,4N,2N,1N,
+    7 = Montgomery one (R mod N)."""
 
     def __init__(self, fp_ctx):
         self.modulus = fp_ctx.modulus
-        packed = np.zeros((L + 1, 7), dtype=np.uint32)
+        packed = np.zeros((L + 1, 8), dtype=np.uint32)
         packed[:L, 0] = fp_ctx.n_limbs
         packed[:L, 1] = fp_ctx.nprime_limbs
         packed[:L + 1, 2] = np.array(_int_to_limbs(fp_ctx.modulus, L + 1),
@@ -122,6 +123,7 @@ class _FieldConsts(object):
         for k, mult in enumerate((8, 4, 2, 1)):
             packed[:L + 1, 3 + k] = np.array(
                 _int_to_limbs(mult * fp_ctx.modulus, L + 1), dtype=np.uint32)
+        packed[:L, 7] = fp_ctx.one_mont_limbs
         self.packed = packed
 
 
@@ -238,7 +240,7 @@ def _g1_add_kernel(batch, tile):
     grid = (batch // tile,)
     spec = pl.BlockSpec((L, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L + 1, 7), lambda i: (0, 0),
+    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -395,7 +397,7 @@ def _g1_double_kernel(batch, tile):
 
     grid = (batch // tile,)
     spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L + 1, 7), lambda i: (0, 0),
+    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -465,7 +467,7 @@ def _g2_add_kernel(batch, tile):
 
     grid = (batch // tile,)
     spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L + 1, 7), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((L, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -488,7 +490,7 @@ def _g2_double_kernel(batch, tile):
 
     grid = (batch // tile,)
     spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L + 1, 7), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((L, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,

@@ -20,7 +20,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the limb-arithmetic graphs are large and XLA-CPU
 # compiles them slowly; cache across test runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
