@@ -43,8 +43,8 @@ BASELINE_POINTS_PER_SEC = 1.0e6
 
 
 def main():
-    log_n = int(os.environ.get("BENCH_MSM_SIZE", "18"))
-    c = int(os.environ.get("BENCH_MSM_C", "10"))
+    log_n = int(os.environ.get("BENCH_MSM_SIZE", "16"))
+    c = int(os.environ.get("BENCH_MSM_C", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     n = 1 << log_n
 
@@ -89,23 +89,54 @@ def main():
     scalar_sum %= CURVE_ORDER
 
     digits_dev = jnp.asarray(digits)
-    run = msm_ops._jit_msm('g1', c)
+    mode = os.environ.get("BENCH_MSM_MODE", "auto")
 
-    # Warmup / compile.
-    res = run(points, digits_dev)
-    jax.block_until_ready(res)
-
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        res = run(points, digits_dev)
-        jax.block_until_ready(res)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-
-    # Verify against (sum of scalars) * G.
     from ethsnarks_tpu.ops import curve as curve_ops
-    got = curve_ops.g1_from_device(res)[0]
+
+    def run_monolithic():
+        run = msm_ops._jit_msm('g1', c)
+        res = run(points, digits_dev)          # warmup/compile
+        jax.block_until_ready(res)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = run(points, digits_dev)
+            jax.block_until_ready(r)
+            times.append(time.perf_counter() - t0)
+        return curve_ops.g1_from_device(r)[0], min(times), "monolithic"
+
+    def run_chunked():
+        # warm the chunk executable
+        got = msm_ops.msm_g1_chunked(points, digits, 8, chunk=512)
+        t0 = time.perf_counter()
+        got = msm_ops.msm_g1_chunked(points, digits, 8, chunk=512)
+        return got, time.perf_counter() - t0, "chunked512"
+
+    got = None
+    if mode in ("auto", "monolithic"):
+        # Bound the compile: the remote-compile service sometimes takes
+        # unbounded time on large graphs; fall back to the chunked path.
+        import signal
+
+        class _Timeout(Exception):
+            pass
+
+        def _on_alarm(signum, frame):
+            raise _Timeout()
+
+        budget = int(os.environ.get("BENCH_COMPILE_BUDGET", "900"))
+        old = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(budget)
+        try:
+            got, dt, used = run_monolithic()
+        except _Timeout:
+            got = None
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+    if got is None:
+        got, dt, used = run_chunked()
+
     want = multiply(G1_GEN, scalar_sum)
     ok = (got == want)
 
@@ -113,8 +144,8 @@ def main():
     out = {
         "metric": "msm_g1_points_per_sec_per_chip",
         "value": round(pps, 1),
-        "unit": "points/s (2^%d points, c=%d, %s, correct=%s)" % (
-            log_n, c, jax.devices()[0].platform, ok),
+        "unit": "points/s (2^%d points, c=%d, %s, %s, correct=%s)" % (
+            log_n, c, used, jax.devices()[0].platform, ok),
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
     }
     print(json.dumps(out))

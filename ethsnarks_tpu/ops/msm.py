@@ -221,3 +221,27 @@ def window_digits_device(plain_limbs, c):
             d = d | (plain_limbs[i0 + 1] << jnp.uint32(LIMB_BITS - sh))
         rows.append(d & mask)
     return jnp.stack(rows)
+
+
+def msm_g1_chunked(points_dev, digits, c, chunk=512):
+    """Chunked MSM: run the (chunk, c) single-window-scan executable per
+    chunk and combine partial results on the host.
+
+    Rationale: the per-chunk executable is small (compiles/caches quickly on
+    the axon remote-compile service, 2 CPU cores notwithstanding) and MSM is
+    additive over point partitions.  Slower than the monolithic graph but
+    compile-robust; used as the bench fallback."""
+    from . import curve as curve_ops
+    from ..bn254 import add as host_add
+    x, y, z = points_dev
+    n = x.shape[-1]
+    assert n % chunk == 0, (n, chunk)
+    run = _jit_msm('g1', c)
+    acc = None
+    for off in range(0, n, chunk):
+        sl = slice(off, off + chunk)
+        res = run((x[:, sl], y[:, sl], z[:, sl]),
+                  jnp.asarray(digits[:, sl]))
+        partial = curve_ops.g1_from_device(res)[0]
+        acc = host_add(acc, partial)
+    return acc

@@ -56,29 +56,36 @@ def _k_scan(n_tiles):
 
     def kernel(consts, keys, x, y, z, ox, oy, oz):
         body = _g1_add_body(consts[:])
-        k = keys[:]                     # (1, T)
-        p = (x[:], y[:], z[:])          # each (L, T)
+        k0 = keys[:]                    # (1, T)
+        p0 = (x[:], y[:], z[:])         # each (L, T)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        one = p[1] * jnp.uint32(0) + consts[:L, 7:8]
+        one = p0[1] * jnp.uint32(0) + consts[:L, 7:8]
 
         # Hillis-Steele inclusive segmented scan within the tile (all VMEM).
-        # Lane shifts use pltpu.roll + iota masks: Mosaic rejects lane-axis
-        # concatenation at unaligned offsets.
-        shift = 1
-        while shift < TILE:
-            valid = lane >= shift
-            k_prev = jnp.where(valid, pltpu.roll(k, shift, 1),
-                               jnp.int32(-1))
-            px = jnp.where(valid, pltpu.roll(p[0], shift, 1),
-                           p[0] * jnp.uint32(0))
-            py = jnp.where(valid, pltpu.roll(p[1], shift, 1), one)
-            pz = jnp.where(valid, pltpu.roll(p[2], shift, 1),
-                           p[2] * jnp.uint32(0))
-            merged = body(px, py, pz, *p)
-            same = (k_prev == k)
-            p = tuple(jnp.where(same, m, q) for m, q in zip(merged, p))
-            shift *= 2
+        # Levels run under an in-kernel fori_loop (one point-add body) with
+        # dynamic-shift rolls; Mosaic chokes on the fully unrolled form and
+        # rejects lane-axis concatenation outright.
+        n_levels = TILE.bit_length() - 1
 
+        def level(i, state):
+            px_c, py_c, pz_c = state
+            shift = jnp.int32(1) << i
+            valid = lane >= shift
+            k_prev = jnp.where(valid, pltpu.roll(k0, shift, 1),
+                               jnp.int32(-1))
+            # NOTE: keys need no scan state - after level i, element j's
+            # summary covers [j-2^i+1 .. j], whose LAST key is still k0[j].
+            qx = jnp.where(valid, pltpu.roll(px_c, shift, 1),
+                           px_c * jnp.uint32(0))
+            qy = jnp.where(valid, pltpu.roll(py_c, shift, 1), one)
+            qz = jnp.where(valid, pltpu.roll(pz_c, shift, 1),
+                           pz_c * jnp.uint32(0))
+            merged = body(qx, qy, qz, px_c, py_c, pz_c)
+            same = (k_prev == k0)
+            return tuple(jnp.where(same, m, q)
+                         for m, q in zip(merged, (px_c, py_c, pz_c)))
+
+        p = jax.lax.fori_loop(0, n_levels, level, p0)
         ox[:], oy[:], oz[:] = p
 
     total = n_tiles * TILE
@@ -146,6 +153,7 @@ def _k_fold(c):
         bx, by, bz = x[:], y[:], z[:]
         one_full = by * jnp.uint32(0) + consts[:L, 7:8]
         idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n_buckets), 1)
+        levels = c  # log2(n_buckets) tree levels
 
         def plane(k, acc):
             # bit index MSB-first: bit = c-1-k
@@ -155,17 +163,23 @@ def _k_fold(c):
             px = jnp.where(mask, bx, bx * jnp.uint32(0))
             py = jnp.where(mask, by, one_full)
             pz = jnp.where(mask, bz, bz * jnp.uint32(0))
-            n = n_buckets
-            cur = (px, py, pz)
-            while n > 1:
-                half = n // 2
-                lo = tuple(t[:, :half] for t in cur)
-                hi = tuple(t[:, half:n] for t in cur)
-                cur = body(*lo, *hi)
-                n = half
-            ax, ay, az = acc
-            ax, ay, az = dbl(ax, ay, az)
-            return body(ax, ay, az, cur[0], cur[1], cur[2])
+
+            # roll-based halving tree: lanes j < half accumulate j + half;
+            # garbage above `half` is never read again (lane 0 = total).
+            def tree_level(i, cur):
+                half = jnp.int32(n_buckets) >> (i + 1)
+                shift = jnp.int32(n_buckets) - half  # left-roll by `half`
+                cx2, cy2, cz2 = cur
+                rx = pltpu.roll(cx2, shift, 1)
+                ry = pltpu.roll(cy2, shift, 1)
+                rz = pltpu.roll(cz2, shift, 1)
+                return body(cx2, cy2, cz2, rx, ry, rz)
+
+            cur = jax.lax.fori_loop(0, levels, tree_level, (px, py, pz))
+            ax, ay, az = dbl(*acc)
+            summed = body(ax, ay, az,
+                          cur[0][:, :1], cur[1][:, :1], cur[2][:, :1])
+            return summed
 
         acc = (bx[:, :1] * jnp.uint32(0), one_full[:, :1],
                bz[:, :1] * jnp.uint32(0))
