@@ -48,24 +48,34 @@ class TestMSM(unittest.TestCase):
             out = add(out, multiply(p, s))
         return out
 
+    # All G1 cases pad to the same (B=32, c=4) problem shape so the CPU
+    # test run compiles the MSM executable exactly once (2-core box).
+    B = 32
+
+    def _padded(self, scalars, points):
+        pad = self.B - len(scalars)
+        return (list(scalars) + [0] * pad,
+                list(points) + [G1_GEN] * pad)
+
     def test_msm_g1_small(self):
         rng = random.Random(11)
-        n = 16
-        scalars = [rng.randrange(CURVE_ORDER) for _ in range(n)]
-        points = [multiply(G1_GEN, rng.randrange(1, 1000)) for _ in range(n)]
-        got = msm.msm_g1_host_api(scalars, points)
+        scalars = [rng.randrange(CURVE_ORDER) for _ in range(16)]
+        points = [multiply(G1_GEN, rng.randrange(1, 1000)) for _ in range(16)]
+        scalars, points = self._padded(scalars, points)
+        got = msm.msm_g1_host_api(scalars, points, c=4)
         self.assertEqual(got, self._host_msm(scalars, points))
 
     def test_msm_g1_edge_scalars(self):
         points = [G1_GEN, multiply(G1_GEN, 2), multiply(G1_GEN, 3), G1_GEN]
         scalars = [0, 1, CURVE_ORDER - 1, 2]
-        got = msm.msm_g1_host_api(scalars, points)
+        scalars, points = self._padded(scalars, points)
+        got = msm.msm_g1_host_api(scalars, points, c=4)
         self.assertEqual(got, self._host_msm(scalars, points))
 
     def test_msm_g1_with_infinity_points(self):
-        points = [G1_GEN, None, multiply(G1_GEN, 5)]
-        scalars = [3, 4, 5]
-        got = msm.msm_g1_host_api(scalars, points)
+        scalars, points = self._padded([3, 4, 5],
+                                       [G1_GEN, None, multiply(G1_GEN, 5)])
+        got = msm.msm_g1_host_api(scalars, points, c=4)
         want = add(multiply(G1_GEN, 3), multiply(G1_GEN, 25))
         self.assertEqual(got, want)
 
@@ -74,7 +84,7 @@ class TestMSM(unittest.TestCase):
         n = 32
         points = [multiply(G1_GEN, i + 1) for i in range(n)]
         scalars = [42] * n
-        got = msm.msm_g1_host_api(scalars, points)
+        got = msm.msm_g1_host_api(scalars, points, c=4)
         self.assertEqual(got, self._host_msm(scalars, points))
 
     def test_msm_g2(self):
@@ -82,7 +92,7 @@ class TestMSM(unittest.TestCase):
         n = 8
         scalars = [rng.randrange(CURVE_ORDER) for _ in range(n)]
         points = [multiply(G2_GEN, rng.randrange(1, 50)) for _ in range(n)]
-        got = msm.msm_g2_host_api(scalars, points)
+        got = msm.msm_g2_host_api(scalars, points, c=4)
         self.assertEqual(got, self._host_msm(scalars, points))
 
 
