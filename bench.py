@@ -89,7 +89,11 @@ def main():
     scalar_sum %= CURVE_ORDER
 
     digits_dev = jnp.asarray(digits)
-    mode = os.environ.get("BENCH_MSM_MODE", "auto")
+    # Default to the chunked path: a SIGALRM cannot preempt a compile that
+    # blocks inside the remote-compile client, so "auto" can stall for the
+    # service's full latency.  Set BENCH_MSM_MODE=auto/monolithic to attempt
+    # the single-graph executable (faster when the service is healthy).
+    mode = os.environ.get("BENCH_MSM_MODE", "chunked")
 
     from ethsnarks_tpu.ops import curve as curve_ops
 
