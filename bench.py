@@ -89,11 +89,27 @@ def main():
     scalar_sum %= CURVE_ORDER
 
     digits_dev = jnp.asarray(digits)
-    # Default to the chunked path: a SIGALRM cannot preempt a compile that
-    # blocks inside the remote-compile client, so "auto" can stall for the
-    # service's full latency.  Set BENCH_MSM_MODE=auto/monolithic to attempt
-    # the single-graph executable (faster when the service is healthy).
-    mode = os.environ.get("BENCH_MSM_MODE", "chunked")
+    # "auto": probe the monolithic single-graph executable in a SUBPROCESS
+    # with a hard timeout (a blocked remote compile cannot be preempted by
+    # signals in-process), fall back to the chunked path.  The subprocess
+    # probe is cheap when the executable is already in the persistent cache.
+    mode = os.environ.get("BENCH_MSM_MODE", "auto")
+    if mode == "auto":
+        import subprocess
+        budget = int(os.environ.get("BENCH_COMPILE_BUDGET", "300"))
+        env = dict(os.environ)
+        env["BENCH_MSM_MODE"] = "monolithic"
+        try:
+            probe = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=budget, capture_output=True, text=True)
+            for line in probe.stdout.splitlines():
+                if line.startswith('{"metric"'):
+                    print(line)
+                    return 0
+        except subprocess.TimeoutExpired:
+            pass
+        mode = "chunked"
 
     from ethsnarks_tpu.ops import curve as curve_ops
 
@@ -117,27 +133,8 @@ def main():
         return got, time.perf_counter() - t0, "chunked512"
 
     got = None
-    if mode in ("auto", "monolithic"):
-        # Bound the compile: the remote-compile service sometimes takes
-        # unbounded time on large graphs; fall back to the chunked path.
-        import signal
-
-        class _Timeout(Exception):
-            pass
-
-        def _on_alarm(signum, frame):
-            raise _Timeout()
-
-        budget = int(os.environ.get("BENCH_COMPILE_BUDGET", "900"))
-        old = signal.signal(signal.SIGALRM, _on_alarm)
-        signal.alarm(budget)
-        try:
-            got, dt, used = run_monolithic()
-        except _Timeout:
-            got = None
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
+    if mode == "monolithic":
+        got, dt, used = run_monolithic()
     if got is None:
         got, dt, used = run_chunked()
 
