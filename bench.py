@@ -48,26 +48,25 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
     n = 1 << log_n
 
-    # Points: the generator broadcast n times (bucket work is coordinate-
-    # independent, and the result is checkable as (sum scalars) * G).
-    gx, gy = G1_GEN[0].n, G1_GEN[1].n
-    X = jnp.broadcast_to(
-        jnp.asarray(Fq.to_mont_jit(Fq.to_limbs([gx]))).reshape(Fq.L, 1),
-        (Fq.L, n))
-    Y = jnp.broadcast_to(
-        jnp.asarray(Fq.to_mont_jit(Fq.to_limbs([gy]))).reshape(Fq.L, 1),
-        (Fq.L, n))
-    Z = jnp.broadcast_to(
-        jnp.asarray(Fq.to_mont_jit(Fq.to_limbs([1]))).reshape(Fq.L, 1),
-        (Fq.L, n))
-    points = (X, Y, Z)
+    # Points: 256 DISTINCT points tiled across n lanes.  (A broadcast of one
+    # point lets XLA's algebraic simplifier collapse the whole MSM to
+    # width-1 compute - measured "half a billion points/s" that way - so the
+    # point array must be materialized with distinct values.)  The result
+    # stays exactly checkable: sum_i s_i P_(i mod 256) = sum_j c_j P_j with
+    # c_j = sum of that residue class's scalars.
+    from ethsnarks_tpu.ops import curve as curve_ops
+    n_base = 256
+    base_pts = [multiply(G1_GEN, j + 1) for j in range(n_base)]
+    base_dev = curve_ops.g1_to_device(base_pts)
+    reps_tile = n // n_base
+    points = tuple(jnp.tile(jnp.asarray(cd), (1, reps_tile))
+                   for cd in base_dev)
 
     rng = np.random.default_rng(12345)
     # Random 253-bit scalars via numpy (exact, fast).
     words = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint64)
     n_windows = (254 + c - 1) // c
     digits = np.zeros((n_windows, n), dtype=np.uint32)
-    scalar_sum = 0
     mask = (1 << c) - 1
     # vectorized digit extraction from 32-bit words
     for w in range(n_windows):
@@ -83,10 +82,13 @@ def main():
     top_bits = 253 - (n_windows - 1) * c
     if top_bits > 0:
         digits[-1] &= (1 << top_bits) - 1
-    # sum of all scalars == sum_w 2^(c*w) * sum_i digits[w, i]
-    for w in range(n_windows):
-        scalar_sum += (1 << (c * w)) * int(digits[w].astype(np.int64).sum())
-    scalar_sum %= CURVE_ORDER
+    # reconstruct scalars per lane (object math), then per-base-class sums
+    scalars_obj = np.zeros(n, dtype=object)
+    for w in range(n_windows - 1, -1, -1):
+        scalars_obj = (scalars_obj << c) + digits[w].astype(object)
+    class_sums = [0] * n_base
+    for j in range(n_base):
+        class_sums[j] = int(scalars_obj[j::n_base].sum()) % CURVE_ORDER
 
     digits_dev = jnp.asarray(digits)
     # "auto": probe the monolithic single-graph executable in a SUBPROCESS
@@ -138,7 +140,9 @@ def main():
     if got is None:
         got, dt, used = run_chunked()
 
-    want = multiply(G1_GEN, scalar_sum)
+    want = None
+    for j in range(n_base):
+        want = add(want, multiply(base_pts[j], class_sums[j]))
     ok = (got == want)
 
     pps = n / dt
