@@ -123,7 +123,9 @@ def main():
         for _ in range(reps):
             t0 = time.perf_counter()
             r = run(points, digits_dev)
-            jax.block_until_ready(r)
+            # Time through a host transfer: on the axon tunnel,
+            # block_until_ready can return at enqueue time.
+            _sync = [np.asarray(coord) for coord in r]
             times.append(time.perf_counter() - t0)
         return curve_ops.g1_from_device(r)[0], min(times), "monolithic"
 
