@@ -611,20 +611,34 @@ class PureEdDSA_gadget(Gadget):
 
 
 class EdDSA_gadget(PureEdDSA_gadget):
-    """EdDSA with Pedersen message prehash (eddsa.cpp:123-147)."""
+    """EdDSA with Pedersen message prehash (eddsa.cpp:123-147).
+
+    The message bit length is padded to a multiple of 3 with constant-zero
+    wires (the host ``pedersen_hash_bits`` implicitly zero-pads the tail
+    window, pedersen.py:59-63)."""
 
     def __init__(self, pb, B, A, R, s_bits, msg_bits, annotation):
         self.pb = pb
         self.annotation_prefix = annotation
+        msg_bits = list(msg_bits)
+        self.msg_pad = []
+        while len(msg_bits) % 3 != 0:
+            v = pb.allocate(self.fmt('msg_pad_%d' % len(self.msg_pad)))
+            self.msg_pad.append(v)
+            msg_bits.append(v)
         self.msg_hashed = PedersenHashToBits(pb, 'EdDSA_Verify.M', msg_bits,
                                              self.fmt('M'))
         super().__init__(pb, B, A, R, s_bits, self.msg_hashed.result(),
                          annotation)
 
     def generate_r1cs_constraints(self):
+        for v in self.msg_pad:
+            self.pb.add_constraint(v, 1, 0, self.fmt('msg_pad=0'))
         self.msg_hashed.generate_r1cs_constraints()
         super().generate_r1cs_constraints()
 
     def generate_r1cs_witness(self):
+        for v in self.msg_pad:
+            self.pb.setval(v, 0)
         self.msg_hashed.generate_r1cs_witness()
         super().generate_r1cs_witness()

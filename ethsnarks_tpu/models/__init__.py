@@ -9,4 +9,5 @@ model builds a circuit from :mod:`ethsnarks_tpu.gadgets`, fills its witness
 
 from .merkle_membership import MerkleMembership  # noqa: F401
 from .mimc_preimage import MiMCPreimage  # noqa: F401
-from .eddsa_verify import EdDSAVerify  # noqa: F401
+from .eddsa_verify import (  # noqa: F401
+    EdDSAVerify, eddsa_open, pureeddsa_open, hasheddsa_open)

@@ -1,16 +1,21 @@
-"""In-circuit PureEdDSA signature verification model.
+"""In-circuit EdDSA signature verification model + one-call host helpers.
 
 Public input: the signer key A (x, y).  Private: R, s, message bits.
 (BASELINE.md config workload: EdDSA+Pedersen verify batches.)
+
+``eddsa_open`` mirrors the reference's ``eddsa_open<T>()`` host helper
+(src/jubjub/eddsa.hpp:62-108): build a throwaway constraint system with the
+verify gadget, fill the witness, report satisfiability.
 """
 
 from ..r1cs import ConstraintSystem
-from ..gadgets.jubjub import VariablePoint, PureEdDSA_gadget
+from ..gadgets.jubjub import (
+    VariablePoint, PureEdDSA_gadget, EdDSA_gadget)
 from ..eddsa import PureEdDSA
 
 
 class EdDSAVerify(object):
-    def __init__(self, msg_bits_len=32):
+    def __init__(self, msg_bits_len=32, gadget_class=PureEdDSA_gadget):
         assert msg_bits_len % 8 == 0
         pb = ConstraintSystem()
         self.A = VariablePoint.allocate(pb, 'A')
@@ -18,13 +23,13 @@ class EdDSAVerify(object):
         self.R = VariablePoint.allocate(pb, 'R')
         self.s_bits = pb.allocate_array(254, 's')
         self.msg_bits = pb.allocate_array(msg_bits_len, 'msg')
-        self.gadget = PureEdDSA_gadget(
+        self.gadget = gadget_class(
             pb, PureEdDSA.B(), self.A, self.R, self.s_bits, self.msg_bits,
             'eddsa')
         self.gadget.generate_r1cs_constraints()
         self.pb = pb
 
-    def set_witness(self, A, sig, msg):
+    def set_witness(self, A, sig, msg, require_satisfied=True):
         pb = self.pb
         pb.setval(self.A.x, A.x.n)
         pb.setval(self.A.y, A.y.n)
@@ -39,5 +44,30 @@ class EdDSAVerify(object):
         for i, ch in enumerate(bits):
             pb.setval(self.msg_bits[i], int(ch))
         self.gadget.generate_r1cs_witness()
-        assert pb.is_satisfied()
+        if require_satisfied:
+            assert pb.is_satisfied()
         return self
+
+
+def eddsa_open(A, sig, msg, gadget_class=PureEdDSA_gadget):
+    """Check a signature by running it through the verify circuit.
+
+    Returns True iff the witnessed circuit is satisfied (a bad signature
+    either fails witness generation or leaves constraints unsatisfied,
+    exactly like the reference's pb.is_satisfied() return)."""
+    try:
+        model = EdDSAVerify(msg_bits_len=len(msg) * 8,
+                            gadget_class=gadget_class)
+        model.set_witness(A, sig, msg, require_satisfied=False)
+    except Exception:
+        return False
+    return model.pb.is_satisfied()
+
+
+def pureeddsa_open(A, sig, msg):
+    return eddsa_open(A, sig, msg, gadget_class=PureEdDSA_gadget)
+
+
+def hasheddsa_open(A, sig, msg):
+    """EdDSA variant: the message is Pedersen-prehashed in-circuit."""
+    return eddsa_open(A, sig, msg, gadget_class=EdDSA_gadget)

@@ -5,15 +5,21 @@ point-op call sites (associative-scan levels, bucket-fold tree levels); the
 axon remote-compile service charges ~10s per site, making 2^20-scale graphs
 take tens of minutes to compile.  Here each MSM stage is ONE kernel:
 
-  K_scan : per-tile segmented inclusive scan (Blelloch up+down sweep fully
-           unrolled inside the kernel, all in VMEM),
-  K_apply: fold the carry (exclusive prefix of previous tiles) into a tile,
-  K_fold : the whole weighted bucket reduction (bit-plane tree + Horner)
-           for one window in a single kernel.
+  K_scan  : per-tile segmented inclusive scan (Hillis-Steele levels under an
+            in-kernel fori_loop, all in VMEM),
+  K_fold  : the whole weighted bucket reduction (bit-plane tree + Horner)
+            for one window in a single kernel,
+  K_horner: between-window acc <- 2^c*acc + w (c doubles + add).
 
-Composition (host-driven, per window):
-  sort -> K_scan over tiles -> aggregate scan (recursive K_scan) -> K_apply
-  -> bucket scatter (XLA) -> K_fold -> window Horner (host or K_double loop).
+Carry application across tiles reuses the generic g1_point_add_pallas kernel
+(carries broadcast tile-wide in XLA) - Mosaic rejects every per-tile
+sub-128-lane block formulation tried (dynamic lane ds(), (1, L, 1) blocks).
+All kernels keep vectors at >= 128 lanes; single-point values ride in lane 0
+with don't-care ballast lanes (1-lane vector ops do not lower).
+
+Composition, two drivers:
+  msm_g1_fused        - host loop per window (compile-cheap, many dispatches)
+  msm_g1_fused_onejit - ONE jit: lax.scan over windows, one dispatch per MSM.
 
 G1 only (the prover's three big MSMs); G2 stays on the generic path.
 Bit-exactness: pinned against ops/msm.py on CPU-interpret and against the
@@ -27,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from .pallas_ops import (
-    _HAS_PALLAS, L, _mk_field_ops, _g1_consts, _g1_add_body, use_pallas)
+    _HAS_PALLAS, L, _mk_field_ops, _g1_consts, _g1_add_body,
+    _g1_double_body, use_pallas)
 
 if _HAS_PALLAS:
     from jax.experimental import pallas as pl
@@ -101,54 +108,38 @@ def _k_scan(n_tiles):
     )
 
 
-@lru_cache(maxsize=None)
-def _k_apply(n_tiles):
-    """Combine each tile's elements with the exclusive carry of previous
-    tiles.  Carries are passed as full (L, n_tiles) arrays (whole-array
-    blocks) and indexed by program id inside the kernel."""
+def _apply_carries(keys_p, scanned, carries, carry_keys):
+    """Fold each tile's exclusive carry into its elements.
 
-    def kernel(consts, keys, x, y, z, cx, cy, cz, ck, ox, oy, oz):
-        body = _g1_add_body(consts[:])
-        j = pl.program_id(0)
-        k = keys[:]
-        p = (x[:], y[:], z[:])
-        carry_k = ck[:, pl.ds(j, 1)]                 # (1, 1)
-        carry = (cx[:, pl.ds(j, 1)], cy[:, pl.ds(j, 1)], cz[:, pl.ds(j, 1)])
-        merged = body(carry[0], carry[1], carry[2], *p)
-        same = (carry_k == k)
-        out = tuple(jnp.where(same, m, q) for m, q in zip(merged, p))
-        ox[:], oy[:], oz[:] = out
+    No dedicated kernel: Mosaic rejects per-tile sub-128-lane carry blocks
+    (dynamic lane ds() and (1, L, 1) blocks both fail), so the carry is
+    broadcast tile-wide in XLA (``jnp.repeat``) and merged with ONE
+    full-width complete point add through the already-validated
+    g1_point_add_pallas kernel, followed by a masked select.
 
-    total = n_tiles * TILE
-    kspec = pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    spec = pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-    carry_spec = pl.BlockSpec((L, n_tiles), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
-    carryk_spec = pl.BlockSpec((1, n_tiles), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[cspec, kspec, spec, spec, spec,
-                  carry_spec, carry_spec, carry_spec, carryk_spec],
-        out_specs=[spec, spec, spec],
-        out_shape=[jax.ShapeDtypeStruct((L, total), jnp.uint32)] * 3,
-    )
+    keys_p: (B,) sorted int32 (B = n_tiles*TILE); scanned: coord triple
+    (L, B); carries: coord triple (L, n_tiles); carry_keys: (n_tiles,)."""
+    from .pallas_ops import g1_point_add_pallas
+    carry_full = tuple(jnp.repeat(a, TILE, axis=1) for a in carries)
+    ck_full = jnp.repeat(carry_keys, TILE)
+    merged = g1_point_add_pallas(scanned, carry_full)
+    same = (ck_full == keys_p)[None]
+    return tuple(jnp.where(same, m, q) for m, q in zip(merged, scanned))
 
 
 @lru_cache(maxsize=None)
 def _k_fold(c):
     """Whole weighted bucket fold in one kernel: buckets (L, 2^c) coords in
-    VMEM -> sum_b b*S_b as a single point (L, 1) per coordinate.
+    VMEM -> sum_b b*S_b in LANE 0 of an (L, 2^c) output (lanes >= 1 are
+    garbage - Mosaic cannot lower 1-lane vector ops, so every op stays at
+    full width and the caller slices lane 0 outside the kernel).
 
-    fori over bit planes (MSB first), each plane a fully unrolled masked
-    tree reduction; Horner double+add between planes."""
+    fori over bit planes (MSB first), each plane a roll-based masked tree
+    reduction; Horner double+add between planes."""
     n_buckets = 1 << c
 
     def kernel(consts, x, y, z, ox, oy, oz):
         body = _g1_add_body(consts[:])
-        from .pallas_ops import _g1_double_body
         dbl = _g1_double_body(consts[:])
         bx, by, bz = x[:], y[:], z[:]
         one_full = by * jnp.uint32(0) + consts[:L, 7:8]
@@ -177,25 +168,128 @@ def _k_fold(c):
 
             cur = jax.lax.fori_loop(0, levels, tree_level, (px, py, pz))
             ax, ay, az = dbl(*acc)
-            summed = body(ax, ay, az,
-                          cur[0][:, :1], cur[1][:, :1], cur[2][:, :1])
-            return summed
+            # full-width add: only lane 0 of `cur` is the plane total, and
+            # only lane 0 of acc is ever read back
+            return body(ax, ay, az, *cur)
 
-        acc = (bx[:, :1] * jnp.uint32(0), one_full[:, :1],
-               bz[:, :1] * jnp.uint32(0))
+        acc = (bx * jnp.uint32(0), one_full, bz * jnp.uint32(0))
         acc = jax.lax.fori_loop(0, c, plane, acc)
         ox[:], oy[:], oz[:] = acc
 
     cspec = pl.BlockSpec((L + 1, 8), lambda: (0, 0), memory_space=pltpu.VMEM)
     spec = pl.BlockSpec((L, n_buckets), lambda: (0, 0),
                         memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         in_specs=[cspec, spec, spec, spec],
-        out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((L, 1), jnp.uint32)] * 3,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((L, n_buckets), jnp.uint32)] * 3,
     )
+
+
+@lru_cache(maxsize=None)
+def _k_horner(c):
+    """Window Horner step in one kernel: acc <- 2^c * acc + w.
+
+    acc, w: (L, 128) coord triples - lane 0 is the live value, the other
+    lanes are don't-care ballast (Mosaic cannot lower 1-lane vector ops).
+    c doublings under fori_loop + one add, all at full width."""
+
+    def kernel(consts, ax, ay, az, wx, wy, wz, ox, oy, oz):
+        body = _g1_add_body(consts[:])
+        dbl = _g1_double_body(consts[:])
+        a = (ax[:], ay[:], az[:])
+
+        def step(_, cur):
+            return dbl(*cur)
+
+        a = jax.lax.fori_loop(0, c, step, a)
+        out = body(a[0], a[1], a[2], wx[:], wy[:], wz[:])
+        ox[:], oy[:], oz[:] = out
+
+    cspec = pl.BlockSpec((L + 1, 8), lambda: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, 128), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[cspec] + [spec] * 6,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((L, 128), jnp.uint32)] * 3,
+    )
+
+
+def _bucket_extract_traced(sorted_keys, sx, sy, sz, n_buckets):
+    """Last element of each key run -> bucket slot (traced XLA scatter)."""
+    is_last = jnp.concatenate(
+        [sorted_keys[1:] != sorted_keys[:-1], jnp.ones((1,), dtype=bool)])
+    target = jnp.where(is_last, sorted_keys, n_buckets)
+    one = jnp.asarray(_one_mont_col(), dtype=jnp.uint32)
+    bx = jnp.zeros((L, n_buckets + 1), dtype=jnp.uint32)
+    by = jnp.broadcast_to(one, (L, n_buckets + 1)).astype(jnp.uint32)
+    bz = jnp.zeros((L, n_buckets + 1), dtype=jnp.uint32)
+    bx = bx.at[:, target].set(sx)
+    by = by.at[:, target].set(sy)
+    bz = bz.at[:, target].set(sz)
+    return bx[:, :n_buckets], by[:, :n_buckets], bz[:, :n_buckets]
+
+
+@lru_cache(maxsize=None)
+def _jit_msm_fused(b, c, n_windows):
+    """The single-dispatch fused MSM: every window under ONE lax.scan inside
+    ONE jit, so a full MSM is one executable / one host round-trip.  The
+    compiled program contains ~6 Pallas call sites (K_scan at 2 tile counts,
+    K_apply, K_fold, K_horner) regardless of b and window count - compile
+    economy for the axon remote-compile service.
+
+    Takes points (X, Y, Z) each (L, b) and digits (W, b) uint32 (LSB window
+    first, as window_digits_host produces); returns the (L, 1) projective
+    result triple."""
+    n_buckets = 1 << c
+    consts_np = _g1_consts()
+
+    @jax.jit
+    def run(points, digits):
+        consts = jnp.asarray(consts_np)
+        x, y, z = points
+        iota = jnp.arange(b, dtype=jnp.int32)
+
+        def window_body(acc, keys):
+            sk, order = jax.lax.sort_key_val(keys.astype(jnp.int32), iota)
+            pts = (jnp.take(x, order, axis=1),
+                   jnp.take(y, order, axis=1),
+                   jnp.take(z, order, axis=1))
+            sx, sy, sz = _seg_scan_fused(sk, pts)
+            bx, by, bz = _bucket_extract_traced(sk, sx, sy, sz, n_buckets)
+            folded = _k_fold(c)(consts, bx, by, bz)
+            # lane 0 of the fold output is live; reshape to the fixed
+            # 128-lane ballast width K_horner expects
+            if n_buckets >= 128:
+                w128 = tuple(a[:, :128] for a in folded)
+            else:
+                w128 = tuple(
+                    jnp.pad(a, ((0, 0), (0, 128 - n_buckets)))
+                    for a in folded)
+            nx, ny, nz = _k_horner(c)(consts, acc[0], acc[1], acc[2],
+                                      *w128)
+            return (nx, ny, nz), None
+
+        one = jnp.asarray(_one_mont_col(), dtype=jnp.uint32)
+        acc0 = (jnp.zeros((L, 128), jnp.uint32),
+                jnp.broadcast_to(one, (L, 128)).astype(jnp.uint32),
+                jnp.zeros((L, 128), jnp.uint32))
+        acc, _ = jax.lax.scan(window_body, acc0, digits[::-1])
+        return tuple(a[:, :1] for a in acc)
+
+    return run
+
+
+def msm_g1_fused_onejit(points_dev, digits, c):
+    """Single-dispatch fused G1 MSM; returns a host affine point."""
+    from . import curve as curve_ops
+    digits = jnp.asarray(digits)
+    n_windows, b = digits.shape
+    run = _jit_msm_fused(b, c, n_windows)
+    res = run(tuple(jnp.asarray(a) for a in points_dev), digits)
+    return curve_ops.g1_from_device(res)[0]
 
 
 def _one_mont_col():
@@ -254,10 +348,10 @@ def _seg_scan_fused(keys, pts):
     cy = jnp.concatenate([one, agg_scanned[1][:, :n_tiles - 1]], axis=1)
     cz = jnp.concatenate([zero, agg_scanned[2][:, :n_tiles - 1]], axis=1)
     ck = jnp.concatenate(
-        [jnp.full((1, 1), -2, dtype=jnp.int32),
-         ak[:, :n_tiles - 1].astype(jnp.int32)], axis=1)
-    ox, oy, oz = _k_apply(n_tiles)(
-        consts, keys_p[None].astype(jnp.int32), sx, sy, sz, cx, cy, cz, ck)
+        [jnp.full((1,), -2, dtype=jnp.int32),
+         ak[0, :n_tiles - 1].astype(jnp.int32)])
+    ox, oy, oz = _apply_carries(
+        keys_p.astype(jnp.int32), (sx, sy, sz), (cx, cy, cz), ck)
     return (ox[:, :orig_b], oy[:, :orig_b], oz[:, :orig_b])
 
 
@@ -307,8 +401,9 @@ def msm_g1_fused(points_dev, digits, c):
         sk, sorted_pts = _jit_sort_gather(b)(digits[w], x, y, z)
         sx, sy, sz = _seg_scan_fused(sk, sorted_pts)
         bx, by, bz = _jit_bucket_extract(b, n_buckets)(sk, sx, sy, sz)
-        wx, wy, wz = _k_fold(c)(jnp.asarray(_g1_consts()), bx, by, bz)
-        w_sum = curve_ops.g1_from_device((wx, wy, wz))[0]
+        folded = _k_fold(c)(jnp.asarray(_g1_consts()), bx, by, bz)
+        w_sum = curve_ops.g1_from_device(
+            tuple(a[:, :1] for a in folded))[0]
         if acc is not None:
             for _ in range(c):
                 acc = host_double(acc)

@@ -83,6 +83,25 @@ class TestPoseidonEvm(unittest.TestCase):
             a, b = _rng.randrange(P), _rng.randrange(P)
             self.assertEqual(_call(code, a, b), poseidon([a, b]))
 
+    def test_solidity_source(self):
+        from ethsnarks_tpu.poseidon.contract_sol import \
+            poseidon_contract_solidity
+        from ethsnarks_tpu.poseidon.permutation import DefaultParams
+        src = poseidon_contract_solidity()
+        self.assertIn('library Poseidon_generated', src)
+        n_rounds = DefaultParams.nRoundsF + DefaultParams.nRoundsP
+        # every round constant and MDS entry is hardcoded
+        for c in (DefaultParams.constants_C[0],
+                  DefaultParams.constants_C[-1]):
+            self.assertIn(hex(c % P), src)
+        self.assertIn(hex(DefaultParams.constants_M[0][0] % P), src)
+        self.assertIn(hex(DefaultParams.constants_M[-1][-1] % P), src)
+        self.assertEqual(src.count('        C['), n_rounds)
+        self.assertEqual(src.count('        M['),
+                         DefaultParams.t * DefaultParams.t)
+        self.assertIn('function Permute', src)
+        self.assertIn('function PoseidonHash', src)
+
 
 if __name__ == "__main__":
     unittest.main()

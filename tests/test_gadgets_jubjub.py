@@ -209,6 +209,32 @@ class TestEdDSAGadget(unittest.TestCase):
         g.generate_r1cs_witness()
         self.assertFalse(pb.is_satisfied())
 
+    def test_eddsa_open(self):
+        """One-call host helper (reference eddsa_open<T>, eddsa.hpp:62-108)."""
+        from ethsnarks_tpu.models import eddsa_open
+        from ethsnarks_tpu.eddsa import Signature
+        A = Point(FQ(333671881179914989291633188949569309119725676183802886621140166987382124337),
+                  FQ(4050436616325076046600891135828313078248584449767955905006778857958871314574))
+        R = Point(FQ(17815983127755465894346158776246779862712623073638768513395595796132990361464),
+                  FQ(947174453624106321442736396890323086851143728754269151257776508699019857364))
+        s = 13341814865473145800030207090487687417599620847405735706082771659861699337012
+        self.assertTrue(eddsa_open(A, Signature(R, s), b'abcd'))
+        self.assertFalse(eddsa_open(A, Signature(R, s + 1), b'abcd'))
+        self.assertFalse(eddsa_open(A, Signature(R, s), b'abce'))
+
+    def test_hasheddsa_open(self):
+        """EdDSA variant prehashes in-circuit; message bit lengths that are
+        not multiples of 3 must be zero-padded (regression: the gadget used
+        to reject them)."""
+        from ethsnarks_tpu.models import hasheddsa_open
+        from ethsnarks_tpu.eddsa import EdDSA, Signature
+        k = FQ(12345678901234567890)
+        for msg in (b'abcd', b'xyz'):   # 32 bits (pad 2), 24 bits (pad 0)
+            sm = EdDSA.sign(msg, k)
+            self.assertTrue(hasheddsa_open(sm.A, sm.sig, msg))
+            self.assertFalse(
+                hasheddsa_open(sm.A, Signature(sm.sig.R, sm.sig.s + 1), msg))
+
 
 if __name__ == "__main__":
     unittest.main()
