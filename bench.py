@@ -91,16 +91,17 @@ def main():
         class_sums[j] = int(scalars_obj[j::n_base].sum()) % CURVE_ORDER
 
     digits_dev = jnp.asarray(digits)
-    # "auto": probe the monolithic single-graph executable in a SUBPROCESS
+    # "auto": probe the fused single-dispatch executable in a SUBPROCESS
     # with a hard timeout (a blocked remote compile cannot be preempted by
     # signals in-process), fall back to the chunked path.  The subprocess
-    # probe is cheap when the executable is already in the persistent cache.
+    # probe is cheap when the executable is already in the persistent cache
+    # (the fused graph has ~6 Pallas call sites; 2^16 compiles in ~80s cold).
     mode = os.environ.get("BENCH_MSM_MODE", "auto")
     if mode == "auto":
         import subprocess
         budget = int(os.environ.get("BENCH_COMPILE_BUDGET", "300"))
         env = dict(os.environ)
-        env["BENCH_MSM_MODE"] = "monolithic"
+        env["BENCH_MSM_MODE"] = "fused"
         try:
             probe = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -114,6 +115,22 @@ def main():
         mode = "chunked"
 
     from ethsnarks_tpu.ops import curve as curve_ops
+
+    def run_fused():
+        # Single-dispatch fused Pallas MSM (one jit, lax.scan over windows).
+        from ethsnarks_tpu.ops import pallas_msm
+        run = pallas_msm._jit_msm_fused(n, c, n_windows)
+        res = run(points, digits_dev)          # warmup/compile
+        _sync = [np.asarray(coord) for coord in res]
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = run(points, digits_dev)
+            # Time through a host transfer: on the axon tunnel,
+            # block_until_ready can return at enqueue time.
+            _sync = [np.asarray(coord) for coord in r]
+            times.append(time.perf_counter() - t0)
+        return curve_ops.g1_from_device(r)[0], min(times), "fused"
 
     def run_monolithic():
         run = msm_ops._jit_msm('g1', c)
@@ -137,7 +154,9 @@ def main():
         return got, time.perf_counter() - t0, "chunked512"
 
     got = None
-    if mode == "monolithic":
+    if mode == "fused":
+        got, dt, used = run_fused()
+    elif mode == "monolithic":
         got, dt, used = run_monolithic()
     if got is None:
         got, dt, used = run_chunked()
