@@ -117,20 +117,16 @@ def main():
     from ethsnarks_tpu.ops import curve as curve_ops
 
     def run_fused():
-        # Single-dispatch fused Pallas MSM (one jit, lax.scan over windows).
+        # Dense all-windows fused Pallas MSM (grouped single-dispatch
+        # pipelines; host-to-host timing includes every transfer).
         from ethsnarks_tpu.ops import pallas_msm
-        run = pallas_msm._jit_msm_fused(n, c, n_windows)
-        res = run(points, digits_dev)          # warmup/compile
-        _sync = [np.asarray(coord) for coord in res]
+        r = pallas_msm.msm_g1_dense_allwin(points, digits, c)  # compile
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = run(points, digits_dev)
-            # Time through a host transfer: on the axon tunnel,
-            # block_until_ready can return at enqueue time.
-            _sync = [np.asarray(coord) for coord in r]
+            r = pallas_msm.msm_g1_dense_allwin(points, digits, c)
             times.append(time.perf_counter() - t0)
-        return curve_ops.g1_from_device(r)[0], min(times), "fused"
+        return r, min(times), "fused-dense"
 
     def run_monolithic():
         run = msm_ops._jit_msm('g1', c)

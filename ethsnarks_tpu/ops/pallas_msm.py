@@ -292,6 +292,290 @@ def msm_g1_fused_onejit(points_dev, digits, c):
     return curve_ops.g1_from_device(res)[0]
 
 
+@lru_cache(maxsize=None)
+def _k_fold_grid(c, n_win):
+    """K_fold over n_win windows in ONE dispatch: grid step i folds the
+    (L, 2^c) bucket block of window i.  Input/output (L, n_win*2^c); lane
+    w*2^c of the output carries window w's weighted bucket sum."""
+    n_buckets = 1 << c
+
+    def kernel(consts, x, y, z, ox, oy, oz):
+        body = _g1_add_body(consts[:])
+        dbl = _g1_double_body(consts[:])
+        bx, by, bz = x[:], y[:], z[:]
+        one_full = by * jnp.uint32(0) + consts[:L, 7:8]
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n_buckets), 1)
+        levels = c
+
+        def plane(kk, acc):
+            bit = jnp.uint32(c - 1) - kk.astype(jnp.uint32)
+            mask = ((idx >> bit) & 1) != 0
+            px = jnp.where(mask, bx, bx * jnp.uint32(0))
+            py = jnp.where(mask, by, one_full)
+            pz = jnp.where(mask, bz, bz * jnp.uint32(0))
+
+            def tree_level(i, cur):
+                half = jnp.int32(n_buckets) >> (i + 1)
+                shift = jnp.int32(n_buckets) - half
+                cx2, cy2, cz2 = cur
+                rx = pltpu.roll(cx2, shift, 1)
+                ry = pltpu.roll(cy2, shift, 1)
+                rz = pltpu.roll(cz2, shift, 1)
+                return body(cx2, cy2, cz2, rx, ry, rz)
+
+            cur = jax.lax.fori_loop(0, levels, tree_level, (px, py, pz))
+            ax, ay, az = dbl(*acc)
+            return body(ax, ay, az, *cur)
+
+        acc = (bx * jnp.uint32(0), one_full, bz * jnp.uint32(0))
+        acc = jax.lax.fori_loop(0, c, plane, acc)
+        ox[:], oy[:], oz[:] = acc
+
+    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, n_buckets), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    total = n_win * n_buckets
+    return pl.pallas_call(
+        kernel,
+        grid=(n_win,),
+        in_specs=[cspec, spec, spec, spec],
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((L, total), jnp.uint32)] * 3,
+    )
+
+
+@lru_cache(maxsize=None)
+def _k_horner_all(c, n_win):
+    """Whole window-Horner in ONE kernel: acc <- 2^c*acc + S_w for w from
+    MSB (w = n_win-1) down to 0.  Input (L, n_win*128) coord triples with
+    window w's value in lane w*128; output (L, 128), lane 0 = the result.
+
+    Windows are brought to lane 0 by cyclic rolls of +128 per iteration
+    (roll(x, s)[j] = x[(j-s) mod n]); the accumulator stays at the minimum
+    128-lane width so point ops cost 1/n_win of the ballast width."""
+    nb = 128
+    total = n_win * nb
+
+    def kernel(consts, wx, wy, wz, ox, oy, oz):
+        body = _g1_add_body(consts[:])
+        dbl = _g1_double_body(consts[:])
+        one128 = wy[:, :nb] * jnp.uint32(0) + consts[:L, 7:8]
+        # pre-roll so the MSB window (lane (n_win-1)*nb) sits at lane 0
+        rx = pltpu.roll(wx[:], nb, 1)
+        ry = pltpu.roll(wy[:], nb, 1)
+        rz = pltpu.roll(wz[:], nb, 1)
+        acc = (one128 * jnp.uint32(0), one128, one128 * jnp.uint32(0))
+
+        def win(i, st):
+            ax, ay, az, qx, qy, qz = st
+
+            def d(_, cur):
+                return dbl(*cur)
+
+            ax, ay, az = jax.lax.fori_loop(0, c, d, (ax, ay, az))
+            ax, ay, az = body(ax, ay, az,
+                              qx[:, :nb], qy[:, :nb], qz[:, :nb])
+            return (ax, ay, az, pltpu.roll(qx, nb, 1),
+                    pltpu.roll(qy, nb, 1), pltpu.roll(qz, nb, 1))
+
+        st = jax.lax.fori_loop(0, n_win, win,
+                               (acc[0], acc[1], acc[2], rx, ry, rz))
+        ox[:], oy[:], oz[:] = st[0], st[1], st[2]
+
+    cspec = pl.BlockSpec((L + 1, 8), lambda: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, total), lambda: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, nb), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[cspec] + [spec] * 3,
+        out_specs=[ospec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((L, nb), jnp.uint32)] * 3,
+    )
+
+
+@lru_cache(maxsize=None)
+def _jit_msm_dense_allwin(b, c, k, n_win):
+    """All-windows dense-matrix MSM: ~12 device dispatches for the WHOLE
+    group of n_win windows (vs ~6 per window for the lax.scan drivers).
+
+    Composite keys (w << c) | digit put every (window, bucket) run side by
+    side after ONE key sort; run bounds come from searchsorted, and ONE
+    point gather lays the group out as an identity-padded
+    (n_win*2^c, k) dense matrix.  Bucket sums = halving tree adds
+    (~2 point-adds per element at 2x padding), then a gridded K_fold and a
+    single whole-group Horner kernel.
+
+    Returns ((L,1) coord triple, overflow flag).  Overflow (a bucket count
+    > k) makes the result unusable; the driver falls back.
+
+    Everything is padded to power-of-two shapes: k must be pow2, and the
+    window count is padded to pow2 with phantom empty windows (their
+    bounds are start=end=total, so they reduce to identity buckets; they
+    sit above the real MSB so the Horner pass keeps acc at identity
+    through them).  NON-NEGOTIABLE: at n_slots=7936 (31 windows) the
+    reduce produced a wrong tail bucket on hardware while the same data at
+    8192 slots was exact - large non-pow2 slot/lane counts hit a lowering
+    bug in this stack (a 3*2^j capacity variant corrupted half the slots
+    the same way).  Pow2 shapes are validated at 2^12..2^16."""
+    n_buckets = 1 << c
+    assert n_buckets >= 128 and k >= 1 and (k & (k - 1)) == 0
+    n_slots = n_win * n_buckets
+    n_win_pad = max(1, 1 << (n_win - 1).bit_length())
+    n_slots_pad = n_win_pad * n_buckets
+    consts_np = _g1_consts()
+
+    @jax.jit
+    def run(points, digits):
+        from .pallas_ops import g1_point_add_pallas
+        consts = jnp.asarray(consts_np)
+        x, y, z = points
+        one = jnp.asarray(_one_mont_col(), dtype=jnp.uint32)
+        # row-major point copy: TPU gathers on the major axis are ~2x
+        # faster than lane-axis gathers even counting the transposes
+        rows = jnp.concatenate([x, y, z], axis=0)         # (3L, b)
+        rows = jnp.pad(rows, ((0, 64 - 3 * L), (0, 0))).T   # (b, 64)
+        woff = (jnp.arange(n_win, dtype=jnp.int32) << c)[:, None]
+        comp = digits.astype(jnp.int32) + woff            # (n_win, b)
+        flat = comp.reshape(-1)
+        iota = jnp.arange(n_win * b, dtype=jnp.int32)
+        sk, order = jax.lax.sort_key_val(flat, iota)
+        orig = order % b                                  # point index
+        total = n_win * b
+        slots = jnp.arange(n_slots_pad, dtype=jnp.int32)
+        real = slots < n_slots
+        q = jnp.minimum(slots, n_slots - 1)
+        starts = jnp.where(real, jnp.searchsorted(sk, q, side='left'),
+                           total)
+        ends = jnp.where(real, jnp.searchsorted(sk, q, side='right'),
+                         total)
+        ovf = jnp.any(ends - starts > k)
+        j = jnp.arange(k, dtype=jnp.int32)
+        src_sorted = starts[:, None] + j[None, :]         # (slots_pad, k)
+        valid = (src_sorted < ends[:, None]).reshape(-1)[None]
+        src_orig = jnp.take(
+            orig, jnp.clip(src_sorted.reshape(-1), 0, total - 1))
+        g = jnp.take(rows, src_orig, axis=0).T            # (64, M)
+        zero_u = jnp.uint32(0)
+        dense = (
+            jnp.where(valid, g[:L], zero_u),
+            jnp.where(valid, g[L:2 * L], one),
+            jnp.where(valid, g[2 * L:3 * L], zero_u),
+        )
+        per = k
+        while per > 1:
+            resh = tuple(a.reshape(L, n_slots_pad, per) for a in dense)
+            half = per // 2
+            lhs = tuple(a[:, :, :half].reshape(L, -1) for a in resh)
+            rhs = tuple(a[:, :, half:].reshape(L, -1) for a in resh)
+            dense = g1_point_add_pallas(lhs, rhs)
+            per = half
+        folded = _k_fold_grid(c, n_win_pad)(consts, *dense)
+        # compact each window's live lane block to 128 lanes (VMEM budget
+        # for the Horner kernel)
+        w128 = tuple(a.reshape(L, n_win_pad, n_buckets)[:, :, :128]
+                     .reshape(L, -1) for a in folded)
+        hx, hy, hz = _k_horner_all(c, n_win_pad)(consts, *w128)
+        return (hx[:, :1], hy[:, :1], hz[:, :1]), ovf
+
+    return run
+
+
+def _nice_k(need):
+    """Smallest power of two >= need (pow2-only: see the lowering-bug note
+    in _jit_msm_dense_allwin)."""
+    k = 1
+    while k < need:
+        k *= 2
+    return k
+
+
+def _window_ks(b, c, digits_np):
+    """Per-window dense capacity: the top window of 254-bit scalars is
+    structurally skewed (it spans fewer than c significant bits, so its
+    counts concentrate on a handful of buckets) - a single global k would
+    force the whole MSM onto the slow path.  Each window gets the smallest
+    nice capacity covering its own observed worst count plus slack (the
+    slack keeps one executable across typical random inputs)."""
+    import math
+    n_buckets = 1 << c
+    mean = max(1, b >> c)
+    floor = mean + 4 * int(math.isqrt(mean)) + 8
+    ks = []
+    for w in range(digits_np.shape[0]):
+        mx = int(np.bincount(digits_np[w], minlength=n_buckets).max())
+        ks.append(_nice_k(max(mx + 4 * int(math.isqrt(mx)) + 8, floor)
+                          if mx > floor else floor))
+    return ks
+
+
+def msm_g1_dense_allwin(points_dev, digits, c, k=None, max_lanes=1 << 23):
+    """Grouped all-windows dense MSM driver; host affine result.
+
+    Windows are processed in contiguous groups sharing a per-window nice
+    capacity (the structurally skewed top window of 254-bit scalars gets
+    its own group) and sized so the dense matrix stays under ``max_lanes``
+    lanes; group results are Horner-combined on the host (c*group_size
+    doublings per group - microseconds).  Falls back to the scan
+    formulation for pathologically skewed digit distributions or c < 7."""
+    from . import curve as curve_ops
+    from ..bn254 import add as host_add, double as host_double
+    digits_np = np.asarray(digits)
+    n_windows, b = digits_np.shape
+    if (1 << c) < 128:
+        return msm_g1_fused_onejit(points_dev, digits, c)
+    # all-zero windows contribute the identity (bucket 0 has weight 0):
+    # skip them entirely - the top windows of narrow scalar ranges are
+    # all-zero by construction
+    zero_win = [int(digits_np[w].max()) == 0 for w in range(n_windows)]
+    ks = ([k] * n_windows if k is not None
+          else _window_ks(b, c, digits_np))
+    mean = max(1, b >> c)
+    # groups: contiguous non-zero windows with equal k, capped by the lane
+    # budget
+    groups = []           # (start, n_win, k)
+    g0 = 0
+    while g0 < n_windows:
+        if zero_win[g0]:
+            g0 += 1
+            continue
+        kg = ks[g0]
+        if kg > max(64 * mean, max_lanes // (1 << c)):
+            return msm_g1_fused_onejit(points_dev, digits, c)
+        cap = max(1, max_lanes // ((1 << c) * kg))
+        g1 = g0 + 1
+        while (g1 < n_windows and not zero_win[g1] and ks[g1] == kg
+               and g1 - g0 < cap):
+            g1 += 1
+        groups.append((g0, g1 - g0, kg))
+        g0 = g1
+    if not groups:
+        return None          # all scalars zero
+    pts = tuple(jnp.asarray(a) for a in points_dev)
+    group_results = []      # (start_window, n_win_in_group, affine)
+    for g0, nw, kg in groups:
+        grp = digits_np[g0:g0 + nw]
+        run = _jit_msm_dense_allwin(b, c, kg, nw)
+        res, ovf = run(pts, jnp.asarray(grp))
+        if bool(ovf):
+            return msm_g1_fused_onejit(points_dev, digits, c)
+        group_results.append(
+            (g0, nw, curve_ops.g1_from_device(res)[0]))
+    # result = sum_g 2^(c*start_g) * R_g, combined MSB-group first
+    acc = None
+    prev_start = None
+    for g0, nw, pt in reversed(group_results):
+        if acc is not None:
+            for _ in range(c * (prev_start - g0)):
+                acc = host_double(acc)
+        acc = host_add(acc, pt)
+        prev_start = g0
+    for _ in range(c * prev_start):
+        acc = host_double(acc)
+    return acc
+
+
+
 def _one_mont_col():
     from .fp import Fq as FqCtx
     return FqCtx.one_mont_limbs.reshape(L, 1)

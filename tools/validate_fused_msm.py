@@ -37,8 +37,10 @@ def main():
                    for cd in base_dev)
 
     rng = np.random.default_rng(7)
-    scalars = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
-               % CURVE_ORDER for _ in range(n)]
+    # full-range scalars (uniform mod r): narrow scalars leave all-zero top
+    # windows, which exercise only the skip/fallback paths
+    scalars = [int.from_bytes(rng.bytes(32), 'little') % CURVE_ORDER
+               for _ in range(n)]
     digits = msm_ops.window_digits_host_np(scalars, c)
 
     want = None
@@ -68,6 +70,26 @@ def main():
             dt = min(times)
             print(f"staged steady: {dt*1e3:.1f}ms -> {n/dt:,.0f} points/s",
                   flush=True)
+
+    if which in ("both", "allwin"):
+        t0 = time.perf_counter()
+        got = pallas_msm.msm_g1_dense_allwin(points, digits, c)
+        t_first = time.perf_counter() - t0
+        ok = (got == want)
+        print(f"allwin first-run (incl compile): {t_first:.2f}s correct={ok}",
+              flush=True)
+        if not ok:
+            print("ALLWIN MISMATCH", got, want)
+            rc = 1
+        else:
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                got = pallas_msm.msm_g1_dense_allwin(points, digits, c)
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
+            print(f"allwin steady: {dt*1e3:.1f}ms -> {n/dt:,.0f} points/s "
+                  f"correct={got == want}", flush=True)
 
     if which in ("both", "onejit"):
         t0 = time.perf_counter()
