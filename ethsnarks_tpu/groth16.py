@@ -90,6 +90,9 @@ class _FixedBaseMul(object):
             i += 1
         return out
 
+    def mul_many(self, scalars):
+        return [self.mul(s) for s in scalars]
+
 
 class ProvingKey(object):
     """nozk proving key: sparse A (G1) / B (G2) queries, dense bitrev H query
@@ -113,13 +116,23 @@ class Keypair(object):
         self.vk = vk
 
 
-def generator(cs, rng=None):
+def generator(cs, rng=None, device_exp='auto'):
     """Trusted setup over a finished (constrained) ConstraintSystem.
 
     rng: optional callable returning random field elements (for tests);
-    defaults to rejection-sampled secrets.randbelow."""
+    defaults to rejection-sampled secrets.randbelow.
+
+    device_exp: run the batch exponentiations (the setup hot path,
+    reference tcc:358-412) on the accelerator via ops.batch_exp.  'auto'
+    enables it on TPU; the host window-table path is used elsewhere."""
     rng = rng or (lambda: secrets.randbelow(P - 1) + 1)
     qap = QAP(cs)
+    if device_exp == 'auto':
+        import jax
+        try:
+            device_exp = jax.default_backend() == 'tpu'
+        except Exception:
+            device_exp = False
 
     while True:
         t = rng()
@@ -134,12 +147,19 @@ def generator(cs, rng=None):
     ni = qap.num_inputs
     m = qap.domain_size
 
-    g1 = _FixedBaseMul(G1_GEN)
-    g2 = _FixedBaseMul(G2_GEN)
+    if device_exp:
+        from .ops.batch_exp import _BatchExp
+        g1 = _BatchExp(G1_GEN, 'g1')
+        g2 = _BatchExp(G2_GEN, 'g2')
+    else:
+        g1 = _FixedBaseMul(G1_GEN)
+        g2 = _FixedBaseMul(G2_GEN)
 
     # Sparse queries (drop zero entries - the nozk key conversion).
-    a_query = [(i, g1.mul(At[i])) for i in range(nv) if At[i]]
-    b_query = [(i, g2.mul(Bt[i])) for i in range(nv) if Bt[i]]
+    a_idx = [i for i in range(nv) if At[i]]
+    a_query = list(zip(a_idx, g1.mul_many([At[i] for i in a_idx])))
+    b_idx = [i for i in range(nv) if Bt[i]]
+    b_query = list(zip(b_idx, g2.mul_many([Bt[i] for i in b_idx])))
 
     # H query: (t^i * Z(t) / delta) G1, stored bit-reversed.
     zt_delta = Zt * delta_inv % P
@@ -149,19 +169,18 @@ def generator(cs, rng=None):
         h_scalar[i] = acc
         acc = acc * t % P
     bitrev = qap.domain.bitrev
-    h_query_bitrev = [g1.mul(h_scalar[int(bitrev[p])]) for p in range(m)]
+    h_query_bitrev = g1.mul_many(
+        [h_scalar[int(bitrev[p])] for p in range(m)])
 
     # L query (aux variables): (beta*A_i + alpha*B_i + C_i)/delta * G1.
-    l_query = []
-    for i in range(ni + 1, nv):
-        s = (beta * At[i] + alpha * Bt[i] + Ct[i]) % P * delta_inv % P
-        l_query.append(g1.mul(s) if s else None)
+    l_query = g1.mul_many(
+        [(beta * At[i] + alpha * Bt[i] + Ct[i]) % P * delta_inv % P
+         for i in range(ni + 1, nv)])
 
     # vk
-    gamma_abc = []
-    for i in range(0, ni + 1):
-        s = (beta * At[i] + alpha * Bt[i] + Ct[i]) % P * gamma_inv % P
-        gamma_abc.append(g1.mul(s) if s else None)
+    gamma_abc = g1.mul_many(
+        [(beta * At[i] + alpha * Bt[i] + Ct[i]) % P * gamma_inv % P
+         for i in range(0, ni + 1)])
     assert all(p is not None for p in gamma_abc), \
         "zero gammaABC entry; input variable unused"
 
@@ -187,16 +206,53 @@ class ProverContext(object):
     """Reusable proving state: QAP device arrays + jitted programs + key.
 
     use_device_msm: route the four MSMs through ops.msm (TPU); otherwise an
-    exact host Pippenger-free fallback is used."""
+    exact host Pippenger-free fallback is used.
 
-    def __init__(self, pk, cs, use_device_msm=True, config=None):
+    msm_impl: 'auto' (fused single-dispatch Pallas MSM for G1 on TPU,
+    generic elsewhere), 'fused', or 'generic'."""
+
+    def __init__(self, pk, cs, use_device_msm=True, config=None,
+                 msm_impl='auto'):
         self.pk = pk
         self.qap = QAP(cs)
         self.use_device_msm = use_device_msm
         self.config = config or Config()
+        assert msm_impl in ('auto', 'fused', 'generic')
+        self.msm_impl = msm_impl
         self._device_keys = None
         if use_device_msm:
             self._prepare_device_keys()
+
+    def _use_fused(self):
+        if self.msm_impl == 'generic':
+            return False
+        if self.msm_impl == 'fused':
+            return True
+        from .ops.pallas_ops import use_pallas
+        return use_pallas()
+
+    def _msm_g1(self, pts_dev, digits, c):
+        """G1 MSM dispatch: fused dense/scan Pallas path on TPU, generic
+        multi-call path elsewhere.  Returns a host affine point."""
+        from .ops import msm as msm_ops
+        from .ops import curve as curve_ops
+        if self._use_fused():
+            from .ops import pallas_msm
+            return pallas_msm.msm_g1_dense_allwin(
+                pts_dev, np.asarray(digits), c)
+        res = msm_ops.msm_g1_device(pts_dev, digits, c)
+        return curve_ops.g1_from_device(res)[0]
+
+    def _msm_g2(self, pts_dev, digits, c):
+        """G2 MSM dispatch (the B query)."""
+        from .ops import msm as msm_ops
+        from .ops import curve as curve_ops
+        if self._use_fused():
+            from .ops import pallas_msm
+            return pallas_msm.msm_g2_dense_allwin(
+                pts_dev, np.asarray(digits), c)
+        res = msm_ops.msm_g2_device(pts_dev, digits, c)
+        return curve_ops.g2_from_device(res)[0]
 
     def _prepare_device_keys(self):
         """Move key queries to the device ONCE (ProverContext semantics:
@@ -237,7 +293,14 @@ class ProverContext(object):
 
     def _pick_c(self, n):
         from .ops import msm as msm_ops
-        return self.config.multi_exp_c or msm_ops.default_window_bits(n)
+        c = self.config.multi_exp_c or msm_ops.default_window_bits(n)
+        if self._use_fused():
+            # the dense-fused fold kernel holds (L, 2^c) blocks in VMEM;
+            # c=13 blows the 16MB scoped budget (measured: 28.8MB).  c<=10
+            # is hardware-validated and within ~25% of the add-count
+            # optimum for the dense formulation.
+            c = min(c, 10)
+        return c
 
     def prove(self, witness_values, primary_input=None):
         """witness_values: full assignment [1, x_1.., aux..] (python ints).
@@ -274,27 +337,20 @@ class ProverContext(object):
 
             h_bitrev_mont = self.qap.witness_map_device(w)
             h_digits = self._h_digit_fn(h_bitrev_mont)
-            h_res = msm_ops.msm_g1_device(self._h_pts, h_digits, self._h_c)
-            h_eval = curve_ops.g1_from_device(h_res)[0]
+            h_eval = self._msm_g1(self._h_pts, h_digits, self._h_c)
 
-            a_digits = msm_ops.window_digits_host_np(
-                w_np[self._a_idx], self._pick_c(len(self._a_idx)))
-            a_res = msm_ops.msm_g1_device(
-                self._a_pts, a_digits, self._pick_c(len(self._a_idx)))
-            a_eval = curve_ops.g1_from_device(a_res)[0]
+            a_c = self._pick_c(len(self._a_idx))
+            a_digits = msm_ops.window_digits_host_np(w_np[self._a_idx], a_c)
+            a_eval = self._msm_g1(self._a_pts, a_digits, a_c)
 
-            b_digits = msm_ops.window_digits_host_np(
-                w_np[self._b_idx], self._pick_c(len(self._b_idx)))
-            b_res = msm_ops.msm_g2_device(
-                self._b_pts, b_digits, self._pick_c(len(self._b_idx)))
-            b_eval = curve_ops.g2_from_device(b_res)[0]
+            b_c = self._pick_c(len(self._b_idx))
+            b_digits = msm_ops.window_digits_host_np(w_np[self._b_idx], b_c)
+            b_eval = self._msm_g2(self._b_pts, b_digits, b_c)
 
             l_scalars = w_np[ni + 1:]
-            l_digits = msm_ops.window_digits_host_np(
-                l_scalars, self._pick_c(len(l_scalars)))
-            l_res = msm_ops.msm_g1_device(
-                self._l_pts, l_digits, self._pick_c(len(l_scalars)))
-            l_eval = curve_ops.g1_from_device(l_res)[0]
+            l_c = self._pick_c(len(l_scalars))
+            l_digits = msm_ops.window_digits_host_np(l_scalars, l_c)
+            l_eval = self._msm_g1(self._l_pts, l_digits, l_c)
 
         g_a = add(pk.alpha_g1, a_eval)
         g_b = add(pk.beta_g2, b_eval)

@@ -481,6 +481,253 @@ def _jit_msm_dense_allwin(b, c, k, n_win):
     return run
 
 
+@lru_cache(maxsize=None)
+def _k_fold_grid_g2(c, n_win):
+    """G2 variant of _k_fold_grid: coords are Fq2 pairs (6 limb planes)."""
+    from .pallas_ops import _g2_add_body, _g2_double_body, _g2_consts
+    n_buckets = 1 << c
+
+    def kernel(consts, b3, x0, x1, y0, y1, z0, z1,
+               ox0, ox1, oy0, oy1, oz0, oz1):
+        body = _g2_add_body(consts[:], b3[:])
+        dbl = _g2_double_body(consts[:], b3[:])
+        bx = (x0[:], x1[:])
+        by = (y0[:], y1[:])
+        bz = (z0[:], z1[:])
+        zero = x0[:] * jnp.uint32(0)
+        one0 = zero + consts[:L, 7:8]
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n_buckets), 1)
+        levels = c
+
+        def sel(mask, p, q):
+            return tuple(jnp.where(mask, a, b) for a, b in zip(p, q))
+
+        def plane(kk, acc):
+            bit = jnp.uint32(c - 1) - kk.astype(jnp.uint32)
+            mask = ((idx >> bit) & 1) != 0
+            px = sel(mask, bx, (zero, zero))
+            py = sel(mask, by, (one0, zero))
+            pz = sel(mask, bz, (zero, zero))
+
+            def roll2(p, shift):
+                return (pltpu.roll(p[0], shift, 1), pltpu.roll(p[1], shift, 1))
+
+            def tree_level(i, cur):
+                half = jnp.int32(n_buckets) >> (i + 1)
+                shift = jnp.int32(n_buckets) - half
+                cx2, cy2, cz2 = cur
+                return body(cx2, cy2, cz2, roll2(cx2, shift),
+                            roll2(cy2, shift), roll2(cz2, shift))
+
+            cur = jax.lax.fori_loop(0, levels, tree_level, (px, py, pz))
+            ax, ay, az = dbl(*acc)
+            return body(ax, ay, az, *cur)
+
+        acc = ((zero, zero), (one0, zero), (zero, zero))
+        acc = jax.lax.fori_loop(0, c, plane, acc)
+        ox0[:], ox1[:] = acc[0]
+        oy0[:], oy1[:] = acc[1]
+        oz0[:], oz1[:] = acc[2]
+
+    cspec = pl.BlockSpec((L + 1, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((L, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, n_buckets), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    total = n_win * n_buckets
+    return pl.pallas_call(
+        kernel,
+        grid=(n_win,),
+        in_specs=[cspec, bspec] + [spec] * 6,
+        out_specs=[spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((L, total), jnp.uint32)] * 6,
+    )
+
+
+@lru_cache(maxsize=None)
+def _k_horner_all_g2(c, n_win):
+    """G2 variant of _k_horner_all."""
+    from .pallas_ops import _g2_add_body, _g2_double_body
+    nb = 128
+    total = n_win * nb
+
+    def kernel(consts, b3, wx0, wx1, wy0, wy1, wz0, wz1,
+               ox0, ox1, oy0, oy1, oz0, oz1):
+        body = _g2_add_body(consts[:], b3[:])
+        dbl = _g2_double_body(consts[:], b3[:])
+        zero = wx0[:, :nb] * jnp.uint32(0)
+        one0 = zero + consts[:L, 7:8]
+        q = [wx0[:], wx1[:], wy0[:], wy1[:], wz0[:], wz1[:]]
+        q = [pltpu.roll(a, nb, 1) for a in q]
+        acc = ((zero, zero), (one0, zero), (zero, zero))
+
+        def win(i, st):
+            ax, ay, az = st[0], st[1], st[2]
+            qq = st[3:]
+
+            def d(_, cur):
+                return dbl(*cur)
+
+            ax, ay, az = jax.lax.fori_loop(0, c, d, (ax, ay, az))
+            ax, ay, az = body(
+                ax, ay, az,
+                (qq[0][:, :nb], qq[1][:, :nb]),
+                (qq[2][:, :nb], qq[3][:, :nb]),
+                (qq[4][:, :nb], qq[5][:, :nb]))
+            return (ax, ay, az) + tuple(pltpu.roll(a, nb, 1) for a in qq)
+
+        st = jax.lax.fori_loop(0, n_win, win,
+                               (acc[0], acc[1], acc[2]) + tuple(q))
+        ox0[:], ox1[:] = st[0]
+        oy0[:], oy1[:] = st[1]
+        oz0[:], oz1[:] = st[2]
+
+    cspec = pl.BlockSpec((L + 1, 8), lambda: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((L, 2), lambda: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((L, total), lambda: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, nb), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[cspec, bspec] + [spec] * 6,
+        out_specs=[ospec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((L, nb), jnp.uint32)] * 6,
+    )
+
+
+@lru_cache(maxsize=None)
+def _jit_msm_dense_allwin_g2(b, c, k, n_win):
+    """G2 dense all-windows MSM: same pipeline as the G1 version with Fq2
+    coordinate pairs (6 limb planes; row-major gather uses a (b, 128)
+    layout since 6L = 120).  Same pow2-shape discipline."""
+    from .pallas_ops import _g2_consts
+    n_buckets = 1 << c
+    assert n_buckets >= 128 and k >= 1 and (k & (k - 1)) == 0
+    n_slots = n_win * n_buckets
+    n_win_pad = max(1, 1 << (n_win - 1).bit_length())
+    n_slots_pad = n_win_pad * n_buckets
+    consts_np, b3_np = _g2_consts()
+
+    @jax.jit
+    def run(points, digits):
+        from .pallas_ops import g2_point_add_pallas
+        consts = jnp.asarray(consts_np)
+        b3 = jnp.asarray(b3_np)
+        (x0, x1), (y0, y1), (z0, z1) = points
+        one = jnp.asarray(_one_mont_col(), dtype=jnp.uint32)
+        rows = jnp.concatenate([x0, x1, y0, y1, z0, z1], axis=0)  # (6L, b)
+        rows = jnp.pad(rows, ((0, 128 - 6 * L), (0, 0))).T        # (b, 128)
+        woff = (jnp.arange(n_win, dtype=jnp.int32) << c)[:, None]
+        comp = digits.astype(jnp.int32) + woff
+        flat = comp.reshape(-1)
+        iota = jnp.arange(n_win * b, dtype=jnp.int32)
+        sk, order = jax.lax.sort_key_val(flat, iota)
+        orig = order % b
+        total = n_win * b
+        slots = jnp.arange(n_slots_pad, dtype=jnp.int32)
+        real = slots < n_slots
+        qs = jnp.minimum(slots, n_slots - 1)
+        starts = jnp.where(real, jnp.searchsorted(sk, qs, side='left'),
+                           total)
+        ends = jnp.where(real, jnp.searchsorted(sk, qs, side='right'),
+                         total)
+        ovf = jnp.any(ends - starts > k)
+        j = jnp.arange(k, dtype=jnp.int32)
+        src_sorted = starts[:, None] + j[None, :]
+        valid = (src_sorted < ends[:, None]).reshape(-1)[None]
+        src_orig = jnp.take(
+            orig, jnp.clip(src_sorted.reshape(-1), 0, total - 1))
+        g = jnp.take(rows, src_orig, axis=0).T                    # (128, M)
+        zero_u = jnp.uint32(0)
+        planes = []
+        for ci in range(6):
+            ident = one if ci == 2 else zero_u    # y0 identity-plane = 1
+            planes.append(jnp.where(valid, g[ci * L:(ci + 1) * L], ident))
+        per = k
+        while per > 1:
+            resh = [a.reshape(L, n_slots_pad, per) for a in planes]
+            half = per // 2
+            lhs = [a[:, :, :half].reshape(L, -1) for a in resh]
+            rhs = [a[:, :, half:].reshape(L, -1) for a in resh]
+            s = g2_point_add_pallas(
+                ((lhs[0], lhs[1]), (lhs[2], lhs[3]), (lhs[4], lhs[5])),
+                ((rhs[0], rhs[1]), (rhs[2], rhs[3]), (rhs[4], rhs[5])))
+            planes = [s[0][0], s[0][1], s[1][0], s[1][1], s[2][0], s[2][1]]
+            per = half
+        folded = _k_fold_grid_g2(c, n_win_pad)(consts, b3, *planes)
+        w128 = tuple(a.reshape(L, n_win_pad, n_buckets)[:, :, :128]
+                     .reshape(L, -1) for a in folded)
+        outs = _k_horner_all_g2(c, n_win_pad)(consts, b3, *w128)
+        res = (((outs[0][:, :1], outs[1][:, :1]),
+                (outs[2][:, :1], outs[3][:, :1]),
+                (outs[4][:, :1], outs[5][:, :1])))
+        return res, ovf
+
+    return run
+
+
+def msm_g2_dense_allwin(points_dev, digits, c, k=None, max_lanes=1 << 22):
+    """Grouped G2 dense all-windows MSM driver; host affine G2 result.
+
+    Falls back to the generic multi-dispatch device MSM for small sizes,
+    c < 7, or pathological digit skew."""
+    from . import curve as curve_ops
+    from . import msm as msm_ops
+    from ..bn254 import add as host_add, double as host_double
+    digits_np = np.asarray(digits)
+    n_windows, b = digits_np.shape
+
+    def fallback():
+        res = msm_ops.msm_g2_device(points_dev, digits_np, c)
+        return curve_ops.g2_from_device(res)[0]
+
+    if (1 << c) < 128 or b <= (1 << 11):
+        return fallback()
+    zero_win = [int(digits_np[w].max()) == 0 for w in range(n_windows)]
+    ks = ([k] * n_windows if k is not None
+          else _window_ks(b, c, digits_np))
+    mean = max(1, b >> c)
+    groups = []
+    g0 = 0
+    while g0 < n_windows:
+        if zero_win[g0]:
+            g0 += 1
+            continue
+        kg = ks[g0]
+        if kg > max(64 * mean, max_lanes // (1 << c)):
+            return fallback()
+        cap = max(1, max_lanes // ((1 << c) * kg))
+        g1 = g0 + 1
+        while (g1 < n_windows and not zero_win[g1] and ks[g1] == kg
+               and g1 - g0 < cap):
+            g1 += 1
+        groups.append((g0, g1 - g0, kg))
+        g0 = g1
+    if not groups:
+        return None
+    pts = tuple(tuple(jnp.asarray(cc) for cc in coord)
+                for coord in points_dev)
+    group_results = []
+    for g0, nw, kg in groups:
+        grp = digits_np[g0:g0 + nw]
+        run = _jit_msm_dense_allwin_g2(b, c, kg, nw)
+        res, ovf = run(pts, jnp.asarray(grp))
+        if bool(ovf):
+            return fallback()
+        group_results.append(
+            (g0, nw, curve_ops.g2_from_device(res)[0]))
+    acc = None
+    prev_start = None
+    for g0, nw, pt in reversed(group_results):
+        if acc is not None:
+            for _ in range(c * (prev_start - g0)):
+                acc = host_double(acc)
+        acc = host_add(acc, pt)
+        prev_start = g0
+    for _ in range(c * prev_start):
+        acc = host_double(acc)
+    return acc
+
+
 def _nice_k(need):
     """Smallest power of two >= need (pow2-only: see the lowering-bug note
     in _jit_msm_dense_allwin)."""
@@ -522,7 +769,10 @@ def msm_g1_dense_allwin(points_dev, digits, c, k=None, max_lanes=1 << 23):
     from ..bn254 import add as host_add, double as host_double
     digits_np = np.asarray(digits)
     n_windows, b = digits_np.shape
-    if (1 << c) < 128:
+    if (1 << c) < 128 or b <= (1 << 13):
+        # small MSMs are host-round-trip-bound; the single-group scan
+        # driver does one round trip where the grouped dense driver does
+        # one per group
         return msm_g1_fused_onejit(points_dev, digits, c)
     # all-zero windows contribute the identity (bucket 0 has weight 0):
     # skip them entirely - the top windows of narrow scalar ranges are
