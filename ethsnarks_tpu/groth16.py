@@ -208,8 +208,8 @@ class ProverContext(object):
     use_device_msm: route the four MSMs through ops.msm (TPU); otherwise an
     exact host Pippenger-free fallback is used.
 
-    msm_impl: 'auto' (fused single-dispatch Pallas MSM for G1 on TPU,
-    generic elsewhere), 'fused', or 'generic'."""
+    msm_impl: 'auto' (red-core dense single-dispatch Pallas MSM on TPU,
+    generic elsewhere), 'red', 'fused' (v1-core dense), or 'generic'."""
 
     def __init__(self, pk, cs, use_device_msm=True, config=None,
                  msm_impl='auto'):
@@ -217,37 +217,51 @@ class ProverContext(object):
         self.qap = QAP(cs)
         self.use_device_msm = use_device_msm
         self.config = config or Config()
-        assert msm_impl in ('auto', 'fused', 'generic')
+        assert msm_impl in ('auto', 'red', 'fused', 'generic')
         self.msm_impl = msm_impl
         self._device_keys = None
         if use_device_msm:
             self._prepare_device_keys()
 
-    def _use_fused(self):
-        if self.msm_impl == 'generic':
-            return False
-        if self.msm_impl == 'fused':
-            return True
+    def _impl(self):
+        if self.msm_impl != 'auto':
+            return self.msm_impl
         from .ops.pallas_ops import use_pallas
-        return use_pallas()
+        return 'red' if use_pallas() else 'generic'
 
-    def _msm_g1(self, pts_dev, digits, c):
-        """G1 MSM dispatch: fused dense/scan Pallas path on TPU, generic
-        multi-call path elsewhere.  Returns a host affine point."""
+    def _use_fused(self):
+        return self._impl() in ('red', 'fused')
+
+    def _msm_g1(self, pts_dev, digits, c, affine=False, static_plan=False):
+        """G1 MSM dispatch: red-core dense single-dispatch Pallas path on
+        TPU, generic multi-call path elsewhere.  Returns a host affine
+        point."""
         from .ops import msm as msm_ops
         from .ops import curve as curve_ops
-        if self._use_fused():
+        impl = self._impl()
+        if impl == 'red':
+            from .ops import msm_red
+            if not static_plan:
+                digits = np.asarray(digits)
+            return msm_red.msm_g1_dense_red(
+                pts_dev, digits, c, affine=affine, static_plan=static_plan)
+        if impl == 'fused':
             from .ops import pallas_msm
             return pallas_msm.msm_g1_dense_allwin(
                 pts_dev, np.asarray(digits), c)
         res = msm_ops.msm_g1_device(pts_dev, digits, c)
         return curve_ops.g1_from_device(res)[0]
 
-    def _msm_g2(self, pts_dev, digits, c):
+    def _msm_g2(self, pts_dev, digits, c, affine=False):
         """G2 MSM dispatch (the B query)."""
         from .ops import msm as msm_ops
         from .ops import curve as curve_ops
-        if self._use_fused():
+        impl = self._impl()
+        if impl == 'red':
+            from .ops import msm_red
+            return msm_red.msm_g2_dense_red(
+                pts_dev, np.asarray(digits), c, affine=affine)
+        if impl == 'fused':
             from .ops import pallas_msm
             return pallas_msm.msm_g2_dense_allwin(
                 pts_dev, np.asarray(digits), c)
@@ -256,21 +270,38 @@ class ProverContext(object):
 
     def _prepare_device_keys(self):
         """Move key queries to the device ONCE (ProverContext semantics:
-        the pk shards live on-chip across proofs)."""
+        the pk shards live on-chip across proofs).  Only the selected MSM
+        implementation's coordinate format is materialized."""
         import jax.numpy as jnp
-        from .ops import curve as curve_ops
         pk = self.pk
         self._a_idx = np.array([i for i, _ in pk.a_query], dtype=np.int64)
-        self._a_pts = tuple(jnp.asarray(x) for x in curve_ops.g1_to_device(
-            [pt for _, pt in pk.a_query]))
         self._b_idx = np.array([i for i, _ in pk.b_query], dtype=np.int64)
-        b_dev = curve_ops.g2_to_device([pt for _, pt in pk.b_query])
-        self._b_pts = tuple(tuple(jnp.asarray(c) for c in coord)
-                            for coord in b_dev)
-        self._h_pts = tuple(jnp.asarray(x) for x in curve_ops.g1_to_device(
-            pk.h_query_bitrev))
-        self._l_pts = tuple(jnp.asarray(x) for x in curve_ops.g1_to_device(
-            pk.l_query))
+        a_pts = [pt for _, pt in pk.a_query]
+        b_pts = [pt for _, pt in pk.b_query]
+        if self._impl() == 'red':
+            from .ops import msm_red
+            self._a_aff = not any(p is None for p in a_pts)
+            self._b_aff = not any(p is None for p in b_pts)
+            self._h_aff = not any(p is None for p in pk.h_query_bitrev)
+            self._l_aff = not any(p is None for p in pk.l_query)
+            self._a_pts = msm_red.g1_to_red(a_pts)
+            self._b_pts = msm_red.g2_to_red(b_pts)
+            self._h_pts = msm_red.g1_to_red(pk.h_query_bitrev)
+            self._l_pts = msm_red.g1_to_red(pk.l_query)
+        else:
+            from .ops import curve as curve_ops
+            self._a_aff = self._b_aff = self._h_aff = self._l_aff = False
+            self._a_pts = tuple(jnp.asarray(x)
+                                for x in curve_ops.g1_to_device(a_pts))
+            b_dev = curve_ops.g2_to_device(b_pts)
+            self._b_pts = tuple(tuple(jnp.asarray(c) for c in coord)
+                                for coord in b_dev)
+            self._h_pts = tuple(jnp.asarray(x)
+                                for x in curve_ops.g1_to_device(
+                                    pk.h_query_bitrev))
+            self._l_pts = tuple(jnp.asarray(x)
+                                for x in curve_ops.g1_to_device(
+                                    pk.l_query))
         import jax
         from .ops import msm as msm_ops
         from .ops.fp import Fr
@@ -298,8 +329,9 @@ class ProverContext(object):
             # the dense-fused fold kernel holds (L, 2^c) blocks in VMEM;
             # c=13 blows the 16MB scoped budget (measured: 28.8MB).  c<=10
             # is hardware-validated and within ~25% of the add-count
-            # optimum for the dense formulation.
-            c = min(c, 10)
+            # optimum for the dense formulation.  The dense pipeline also
+            # needs >= 128 buckets (Mosaic lane minimum), so c >= 7.
+            c = min(max(c, 7), 10)
         return c
 
     def prove(self, witness_values, primary_input=None):
@@ -337,20 +369,24 @@ class ProverContext(object):
 
             h_bitrev_mont = self.qap.witness_map_device(w)
             h_digits = self._h_digit_fn(h_bitrev_mont)
-            h_eval = self._msm_g1(self._h_pts, h_digits, self._h_c)
+            h_eval = self._msm_g1(self._h_pts, h_digits, self._h_c,
+                                  affine=self._h_aff, static_plan=True)
 
             a_c = self._pick_c(len(self._a_idx))
             a_digits = msm_ops.window_digits_host_np(w_np[self._a_idx], a_c)
-            a_eval = self._msm_g1(self._a_pts, a_digits, a_c)
+            a_eval = self._msm_g1(self._a_pts, a_digits, a_c,
+                                  affine=self._a_aff)
 
             b_c = self._pick_c(len(self._b_idx))
             b_digits = msm_ops.window_digits_host_np(w_np[self._b_idx], b_c)
-            b_eval = self._msm_g2(self._b_pts, b_digits, b_c)
+            b_eval = self._msm_g2(self._b_pts, b_digits, b_c,
+                                  affine=self._b_aff)
 
             l_scalars = w_np[ni + 1:]
             l_c = self._pick_c(len(l_scalars))
             l_digits = msm_ops.window_digits_host_np(l_scalars, l_c)
-            l_eval = self._msm_g1(self._l_pts, l_digits, l_c)
+            l_eval = self._msm_g1(self._l_pts, l_digits, l_c,
+                                  affine=self._l_aff)
 
         g_a = add(pk.alpha_g1, a_eval)
         g_b = add(pk.beta_g2, b_eval)
