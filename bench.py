@@ -10,12 +10,11 @@ libsnark/mcl Pippenger rate for 2^20-point BN254 G1 MSMs (order-of-magnitude
 anchor, documented in BASELINE.md table: prover asymptotics row).
 
 Env knobs:
-  BENCH_MSM_SIZE   log2 number of points (default 18; the 2^20 north-star
-                   run is BENCH_MSM_SIZE=20 BENCH_MSM_C=13 - the first
-                   compile of that graph on a cold cache takes tens of
-                   minutes on the axon remote-compile service, so the
-                   default is sized to finish reliably)
-  BENCH_MSM_C      Pippenger window bits (default 10)
+  BENCH_MSM_SIZE   log2 number of points (default 16; the 2^20 north-star
+                   run is BENCH_MSM_SIZE=20 - first compiles of a new shape
+                   take minutes on the axon remote-compile service, so the
+                   default is sized to finish reliably on a cold cache)
+  BENCH_MSM_C      Pippenger window bits (default "auto" = msm_red.best_c)
   BENCH_REPS       timed repetitions (default 3)
 """
 
@@ -44,7 +43,12 @@ BASELINE_POINTS_PER_SEC = 1.0e6
 
 def main():
     log_n = int(os.environ.get("BENCH_MSM_SIZE", "16"))
-    c = int(os.environ.get("BENCH_MSM_C", "8"))
+    c_env = os.environ.get("BENCH_MSM_C", "auto")
+    if c_env == "auto":
+        from ethsnarks_tpu.ops.msm_red import best_c
+        c = best_c(1 << log_n)
+    else:
+        c = int(c_env)
     reps = int(os.environ.get("BENCH_REPS", "3"))
     n = 1 << log_n
 
@@ -91,30 +95,48 @@ def main():
         class_sums[j] = int(scalars_obj[j::n_base].sum()) % CURVE_ORDER
 
     digits_dev = jnp.asarray(digits)
-    # "auto": probe the fused single-dispatch executable in a SUBPROCESS
+    # "auto": probe the red-core single-dispatch executable in a SUBPROCESS
     # with a hard timeout (a blocked remote compile cannot be preempted by
-    # signals in-process), fall back to the chunked path.  The subprocess
-    # probe is cheap when the executable is already in the persistent cache
-    # (the fused graph has ~6 Pallas call sites; 2^16 compiles in ~80s cold).
+    # signals in-process), falling back to the v1 fused dense path, then the
+    # chunked path.  The subprocess probe is cheap when the executable is
+    # already in the persistent cache.
     mode = os.environ.get("BENCH_MSM_MODE", "auto")
     if mode == "auto":
         import subprocess
         budget = int(os.environ.get("BENCH_COMPILE_BUDGET", "300"))
-        env = dict(os.environ)
-        env["BENCH_MSM_MODE"] = "fused"
-        try:
-            probe = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=budget, capture_output=True, text=True)
-            for line in probe.stdout.splitlines():
-                if line.startswith('{"metric"'):
-                    print(line)
-                    return 0
-        except subprocess.TimeoutExpired:
-            pass
+        for probe_mode in ("red", "fused"):
+            env = dict(os.environ)
+            env["BENCH_MSM_MODE"] = probe_mode
+            if probe_mode == "fused":
+                # the v1 fused fold kernel needs c <= 10 (VMEM)
+                env["BENCH_MSM_C"] = str(min(c, 10))
+            try:
+                probe = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=budget, capture_output=True, text=True)
+                for line in probe.stdout.splitlines():
+                    if line.startswith('{"metric"'):
+                        print(line)
+                        return 0
+            except subprocess.TimeoutExpired:
+                pass
         mode = "chunked"
 
     from ethsnarks_tpu.ops import curve as curve_ops
+
+    def run_red():
+        # Red-core (signed redundant digits) dense MSM: whole MSM in one
+        # device dispatch (ops/msm_red.py).
+        from ethsnarks_tpu.ops import msm_red
+        base_red = msm_red.g1_to_red(base_pts)
+        pts_red = tuple(jnp.tile(a, (1, reps_tile)) for a in base_red)
+        r = msm_red.msm_g1_dense_red(pts_red, digits, c)    # compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = msm_red.msm_g1_dense_red(pts_red, digits, c)
+            times.append(time.perf_counter() - t0)
+        return r, min(times), "red-dense"
 
     def run_fused():
         # Dense all-windows fused Pallas MSM (grouped single-dispatch
@@ -144,13 +166,15 @@ def main():
 
     def run_chunked():
         # warm the chunk executable
-        got = msm_ops.msm_g1_chunked(points, digits, 8, chunk=512)
+        got = msm_ops.msm_g1_chunked(points, digits, c, chunk=512)
         t0 = time.perf_counter()
-        got = msm_ops.msm_g1_chunked(points, digits, 8, chunk=512)
+        got = msm_ops.msm_g1_chunked(points, digits, c, chunk=512)
         return got, time.perf_counter() - t0, "chunked512"
 
     got = None
-    if mode == "fused":
+    if mode == "red":
+        got, dt, used = run_red()
+    elif mode == "fused":
         got, dt, used = run_fused()
     elif mode == "monolithic":
         got, dt, used = run_monolithic()

@@ -232,7 +232,7 @@ class ProverContext(object):
     def _use_fused(self):
         return self._impl() in ('red', 'fused')
 
-    def _msm_g1(self, pts_dev, digits, c, affine=False, static_plan=False):
+    def _msm_g1(self, pts_dev, digits, c, static_plan=False):
         """G1 MSM dispatch: red-core dense single-dispatch Pallas path on
         TPU, generic multi-call path elsewhere.  Returns a host affine
         point."""
@@ -244,7 +244,7 @@ class ProverContext(object):
             if not static_plan:
                 digits = np.asarray(digits)
             return msm_red.msm_g1_dense_red(
-                pts_dev, digits, c, affine=affine, static_plan=static_plan)
+                pts_dev, digits, c, static_plan=static_plan)
         if impl == 'fused':
             from .ops import pallas_msm
             return pallas_msm.msm_g1_dense_allwin(
@@ -252,7 +252,7 @@ class ProverContext(object):
         res = msm_ops.msm_g1_device(pts_dev, digits, c)
         return curve_ops.g1_from_device(res)[0]
 
-    def _msm_g2(self, pts_dev, digits, c, affine=False):
+    def _msm_g2(self, pts_dev, digits, c):
         """G2 MSM dispatch (the B query)."""
         from .ops import msm as msm_ops
         from .ops import curve as curve_ops
@@ -260,7 +260,7 @@ class ProverContext(object):
         if impl == 'red':
             from .ops import msm_red
             return msm_red.msm_g2_dense_red(
-                pts_dev, np.asarray(digits), c, affine=affine)
+                pts_dev, np.asarray(digits), c)
         if impl == 'fused':
             from .ops import pallas_msm
             return pallas_msm.msm_g2_dense_allwin(
@@ -280,17 +280,12 @@ class ProverContext(object):
         b_pts = [pt for _, pt in pk.b_query]
         if self._impl() == 'red':
             from .ops import msm_red
-            self._a_aff = not any(p is None for p in a_pts)
-            self._b_aff = not any(p is None for p in b_pts)
-            self._h_aff = not any(p is None for p in pk.h_query_bitrev)
-            self._l_aff = not any(p is None for p in pk.l_query)
             self._a_pts = msm_red.g1_to_red(a_pts)
             self._b_pts = msm_red.g2_to_red(b_pts)
             self._h_pts = msm_red.g1_to_red(pk.h_query_bitrev)
             self._l_pts = msm_red.g1_to_red(pk.l_query)
         else:
             from .ops import curve as curve_ops
-            self._a_aff = self._b_aff = self._h_aff = self._l_aff = False
             self._a_pts = tuple(jnp.asarray(x)
                                 for x in curve_ops.g1_to_device(a_pts))
             b_dev = curve_ops.g2_to_device(b_pts)
@@ -324,14 +319,19 @@ class ProverContext(object):
 
     def _pick_c(self, n):
         from .ops import msm as msm_ops
-        c = self.config.multi_exp_c or msm_ops.default_window_bits(n)
+        if self.config.multi_exp_c:
+            c = self.config.multi_exp_c
+        elif self._impl() == 'red':
+            from .ops.msm_red import best_c
+            return best_c(n)
+        else:
+            c = msm_ops.default_window_bits(n)
         if self._use_fused():
-            # the dense-fused fold kernel holds (L, 2^c) blocks in VMEM;
-            # c=13 blows the 16MB scoped budget (measured: 28.8MB).  c<=10
-            # is hardware-validated and within ~25% of the add-count
-            # optimum for the dense formulation.  The dense pipeline also
-            # needs >= 128 buckets (Mosaic lane minimum), so c >= 7.
-            c = min(max(c, 7), 10)
+            # v1 dense-fused fold kernel holds (L, 2^c) blocks in VMEM;
+            # c=13 blows the 16MB scoped budget (measured: 28.8MB); the
+            # dense pipelines also need >= 128 buckets (Mosaic lane
+            # minimum), so 7 <= c <= 10
+            c = min(max(c, 7), 10 if self._impl() == 'fused' else 13)
         return c
 
     def prove(self, witness_values, primary_input=None):
@@ -363,30 +363,31 @@ class ProverContext(object):
             l_eval = self._host_msm(l_pairs)
         else:
             from .ops import msm as msm_ops
-            from .ops import curve as curve_ops
             from .ops.fp import Fr
-            w_np = np.asarray(w, dtype=object)
+            # ONE limb decomposition of the witness feeds the device
+            # witness map AND every host digit extraction (uint32 numpy
+            # passes instead of python-bigint passes per MSM)
+            w_limbs = Fr.to_limbs_fast(w)
 
-            h_bitrev_mont = self.qap.witness_map_device(w)
+            h_bitrev_mont = self.qap.witness_map_device_limbs(w_limbs)
             h_digits = self._h_digit_fn(h_bitrev_mont)
             h_eval = self._msm_g1(self._h_pts, h_digits, self._h_c,
-                                  affine=self._h_aff, static_plan=True)
+                                  static_plan=True)
 
             a_c = self._pick_c(len(self._a_idx))
-            a_digits = msm_ops.window_digits_host_np(w_np[self._a_idx], a_c)
-            a_eval = self._msm_g1(self._a_pts, a_digits, a_c,
-                                  affine=self._a_aff)
+            a_digits = msm_ops.window_digits_from_limbs_np(
+                w_limbs[:, self._a_idx], a_c)
+            a_eval = self._msm_g1(self._a_pts, a_digits, a_c)
 
             b_c = self._pick_c(len(self._b_idx))
-            b_digits = msm_ops.window_digits_host_np(w_np[self._b_idx], b_c)
-            b_eval = self._msm_g2(self._b_pts, b_digits, b_c,
-                                  affine=self._b_aff)
+            b_digits = msm_ops.window_digits_from_limbs_np(
+                w_limbs[:, self._b_idx], b_c)
+            b_eval = self._msm_g2(self._b_pts, b_digits, b_c)
 
-            l_scalars = w_np[ni + 1:]
-            l_c = self._pick_c(len(l_scalars))
-            l_digits = msm_ops.window_digits_host_np(l_scalars, l_c)
-            l_eval = self._msm_g1(self._l_pts, l_digits, l_c,
-                                  affine=self._l_aff)
+            l_c = self._pick_c(self.qap.num_variables - ni - 1)
+            l_digits = msm_ops.window_digits_from_limbs_np(
+                w_limbs[:, ni + 1:], l_c)
+            l_eval = self._msm_g1(self._l_pts, l_digits, l_c)
 
         g_a = add(pk.alpha_g1, a_eval)
         g_b = add(pk.beta_g2, b_eval)

@@ -204,6 +204,28 @@ def window_digits_host_np(scalars, c):
     return out
 
 
+def window_digits_from_limbs_np(limbs, c):
+    """Vectorized host digit extraction from canonical 13-bit limbs
+    (L, B) uint32 -> (W, B) uint32: pure numpy uint32 ops, no per-scalar
+    python-bigint passes (window_digits_host_np costs ~W object passes;
+    this reuses the limb decomposition the witness map needs anyway)."""
+    from .fp import LIMB_BITS, NUM_LIMBS
+    assert c <= LIMB_BITS
+    limbs = np.asarray(limbs)
+    n_windows = (254 + c - 1) // c
+    mask = np.uint32((1 << c) - 1)
+    out = np.zeros((n_windows, limbs.shape[1]), dtype=np.uint32)
+    for w in range(n_windows):
+        lo_bit = w * c
+        i0 = lo_bit // LIMB_BITS
+        sh = lo_bit % LIMB_BITS
+        d = limbs[i0] >> np.uint32(sh)
+        if sh + c > LIMB_BITS and i0 + 1 < NUM_LIMBS:
+            d = d | (limbs[i0 + 1] << np.uint32(LIMB_BITS - sh))
+        out[w] = d & mask
+    return out
+
+
 def window_digits_device(plain_limbs, c):
     """Digit extraction on device from canonical 13-bit limbs (L, B) ->
     (W, B) uint32.  c <= 13 so each window spans at most two limbs."""

@@ -12,16 +12,29 @@ ops per field multiply, measured int32 mul == add on v5e
 
 Differences from the v1 pipeline besides the core:
 
- - **Affine gather**: PK query points and benchmark bases are affine, so the
-   dense gather moves only (x, y) rows - 2*22 = 44 rows padded to 64 - and
-   synthesizes z from the validity mask (z = one where valid else 0).  The
-   general (projective-input) path would need 3*22 = 66 rows padded to 128,
-   doubling gather traffic.  G2 affine moves 4*22 = 88 -> 128 instead of
-   6*22 = 132 -> 256.
- - **No generic-path fallback**: per-window capacities are computed from the
-   actual digits, so the overflow flag can only fire when an executable
-   cached for smaller capacities is reused; the driver then retries with
-   exact capacities instead of falling back to another formulation.
+ - **One dispatch per MSM**: all window groups run inside a single jit
+   (lax.scan over uniform groups + on-device group Horner + tail combine),
+   so each MSM costs one host round trip on the axon tunnel instead of one
+   per group.
+ - **Identity substitution by gather redirect, never by select**: the
+   point table carries one extra identity entry (0, 1, 0) at index b, and
+   out-of-run lanes gather it via an arithmetic index blend.  Selects that
+   substitute identity coordinates at 2^22-lane widths silently fail on
+   the tail lanes on this stack (one corrupted slot, bit-identical across
+   four graph variants - diagnosed with tools/debug_red_stage.py); the
+   redirect also deletes three full-width where ops from the graph.
+ - **Pairfold bucket reduction**: sum_b b*S_b via the split-half recursion
+   W(S over B) = W(S_lo + S_hi over B/2) + (B/2)*total(S_hi), ~2*2^c point
+   adds per window composed from tiled kernels at shrinking widths, vs the
+   v1 single-kernel bit-plane fold's c^2*2^c full-width lane-adds (whose
+   VMEM appetite capped c at 10).
+ - **Bucket 0 excluded from capacity planning** (its fold weight is zero,
+   so its slot may silently truncate): all-zero windows and the zero-heavy
+   top window of narrow scalar ranges cost the uniform floor capacity.
+ - **No generic-path fallback**: per-window capacities are computed from
+   the actual digits (or a distribution-free static plan for uniform
+   scalars, keeping device-resident digits on-chip); on the rare overflow
+   the driver replans from host digits instead of switching formulation.
 
 Pow2-shape discipline carried over from v1 (NON-NEGOTIABLE - see the
 lowering-bug note in pallas_msm._jit_msm_dense_allwin): capacities and
@@ -233,57 +246,134 @@ def _g2_add_red_dev(consts, b3, p, q):
 
 
 @lru_cache(maxsize=None)
-def _k_fold_grid_red(c, n_win):
-    """Weighted bucket fold, one grid step per window (red core).
-
-    Input (RL, n_win*2^c) coord planes; output same shape with window w's
-    weighted sum sum_b b*S_b in lane w*2^c.  Bit-plane formulation (MSB
-    first): c planes, each a roll-halving masked tree + Horner double/add."""
-    n_buckets = 1 << c
-
+def _g1_double_kernel_red(batch, tile):
     def kernel(consts, x, y, z, ox, oy, oz):
         ops = mk_red_ops(consts[:])
-        bx, by, bz = x[:], y[:], z[:]
-        zero = bx * 0
-        one_full = zero + consts[:RL, 3:4]
-        idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_buckets), 1)
-        levels = c
+        rx, ry, rz = g1_double_red(ops, (x[:], y[:], z[:]))
+        ox[:], oy[:], oz[:] = rx, ry, rz
 
-        def plane(kk, acc):
-            bit = jnp.int32(c - 1) - kk
-            mask = ((idx >> bit) & 1) != 0
-            px = jnp.where(mask, bx, zero)
-            py = jnp.where(mask, by, one_full)
-            pz = jnp.where(mask, bz, zero)
-
-            def tree_level(i, cur):
-                half = jnp.int32(n_buckets) >> (i + 1)
-                shift = jnp.int32(n_buckets) - half
-                cx2, cy2, cz2 = cur
-                rx = pltpu.roll(cx2, shift, 1)
-                ry = pltpu.roll(cy2, shift, 1)
-                rz = pltpu.roll(cz2, shift, 1)
-                return g1_add_red(ops, (cx2, cy2, cz2), (rx, ry, rz))
-
-            cur = jax.lax.fori_loop(0, levels, tree_level, (px, py, pz))
-            a2 = g1_double_red(ops, acc)
-            return g1_add_red(ops, a2, cur)
-
-        acc = (zero, one_full, zero)
-        acc = jax.lax.fori_loop(0, c, plane, acc)
-        ox[:], oy[:], oz[:] = acc
-
+    grid = (batch // tile,)
+    spec = pl.BlockSpec((RL, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((RL, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    spec = pl.BlockSpec((RL, n_buckets), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    total = n_win * n_buckets
     return pl.pallas_call(
         kernel,
-        grid=(n_win,),
-        in_specs=[cspec, spec, spec, spec],
+        grid=grid,
+        in_specs=[cspec] + [spec] * 3,
         out_specs=[spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((RL, total), jnp.int32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((RL, batch), jnp.int32)] * 3,
     )
+
+
+@lru_cache(maxsize=None)
+def _g2_double_kernel_red(batch, tile):
+    def kernel(consts, b3, x0, x1, y0, y1, z0, z1,
+               ox0, ox1, oy0, oy1, oz0, oz1):
+        ops = mk_red_ops(consts[:])
+        b3p = (b3[:, 0:1], b3[:, 1:2])
+        rx, ry, rz = g2_double_red(
+            ops, b3p, ((x0[:], x1[:]), (y0[:], y1[:]), (z0[:], z1[:])))
+        ox0[:], ox1[:] = rx
+        oy0[:], oy1[:] = ry
+        oz0[:], oz1[:] = rz
+
+    grid = (batch // tile,)
+    spec = pl.BlockSpec((RL, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((RL, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((RL, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[cspec, bspec] + [spec] * 6,
+        out_specs=[spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((RL, batch), jnp.int32)] * 6,
+    )
+
+
+def _cmapf(f, p, g2):
+    if g2:
+        return tuple((f(a[0]), f(a[1])) for a in p)
+    return tuple(f(a) for a in p)
+
+
+def _padded_add(consts, b3, p, q, g2):
+    """Complete add at any lane width (pads below the 128-lane minimum)."""
+    w = (p[0][0] if g2 else p[0]).shape[1]
+    pad = 128 - w if w < 128 else 0
+    if pad:
+        p = _cmapf(lambda a: jnp.pad(a, ((0, 0), (0, pad))), p, g2)
+        q = _cmapf(lambda a: jnp.pad(a, ((0, 0), (0, pad))), q, g2)
+    r = (_g2_add_red_dev(consts, b3, p, q) if g2
+         else _g1_add_red_dev(consts, p, q))
+    if pad:
+        r = _cmapf(lambda a: a[:, :w], r, g2)
+    return r
+
+
+def _padded_dbl(consts, b3, p, g2):
+    w = (p[0][0] if g2 else p[0]).shape[1]
+    pad = 128 - w if w < 128 else 0
+    if pad:
+        p = _cmapf(lambda a: jnp.pad(a, ((0, 0), (0, pad))), p, g2)
+    if use_pallas():
+        wt = w + pad
+        if g2:
+            o = _g2_double_kernel_red(wt, _pick_tile(wt))(
+                consts, b3, *_leaves(p, True))
+            r = _nest(list(o), True)
+        else:
+            r = _g1_double_kernel_red(wt, _pick_tile(wt))(consts, *p)
+    else:
+        ops = mk_red_ops(consts)
+        if g2:
+            b3p = (b3[:, 0:1], b3[:, 1:2])
+            r = g2_double_red(ops, b3p, p)
+        else:
+            r = g1_double_red(ops, p)
+    if pad:
+        r = _cmapf(lambda a: a[:, :w], r, g2)
+    return r
+
+
+def _pairfold(consts, b3, dense, c, nw_pad, g2):
+    """Weighted bucket reduction sum_b b*S_b for every window: ~2*2^c point
+    adds per window (vs c^2*2^c lane-adds for the bit-plane fold kernel),
+    via the split-half recursion
+
+        W(S over B buckets) = W(S_lo + S_hi over B/2) + (B/2) * total(S_hi)
+
+    composed from the tiled add/double kernels at shrinking widths (XLA
+    reshapes between calls are free).  dense: (RL, nw_pad*2^c) coord
+    planes; returns leaves at the window-Horner layout (RL, nw_pad*128)
+    with window w's weighted sum in lane w*128."""
+    width = 1 << c
+    cur = dense
+    totals = []
+    for _ in range(c):
+        half = width // 2
+        resh = _cmapf(lambda a: a.reshape(RL, nw_pad, width), cur, g2)
+        lo = _cmapf(lambda a: a[:, :, :half].reshape(RL, -1), resh, g2)
+        hi = _cmapf(lambda a: a[:, :, half:].reshape(RL, -1), resh, g2)
+        t = hi
+        w2 = half
+        while w2 > 1:
+            tr = _cmapf(lambda a: a.reshape(RL, nw_pad, w2), t, g2)
+            tl = _cmapf(lambda a: a[:, :, :w2 // 2].reshape(RL, -1), tr, g2)
+            th = _cmapf(lambda a: a[:, :, w2 // 2:].reshape(RL, -1), tr, g2)
+            t = _padded_add(consts, b3, tl, th, g2)
+            w2 //= 2
+        totals.append(t)               # (RL, nw_pad): total of high half
+        cur = _padded_add(consts, b3, lo, hi, g2)
+        width = half
+    # W = sum_i 2^(c-1-i) * T_i  (Horner, T_0 = most significant)
+    zero = jnp.zeros((RL, nw_pad), jnp.int32)
+    onec = zero + jnp.asarray(_one_red_col())
+    acc = (((zero, zero), (onec, zero), (zero, zero)) if g2
+           else (zero, onec, zero))
+    for t in totals:
+        acc = _padded_dbl(consts, b3, acc, g2)
+        acc = _padded_add(consts, b3, acc, t, g2)
+    return [jnp.pad(a.reshape(RL, nw_pad, 1), ((0, 0), (0, 0), (0, 127)))
+            .reshape(RL, nw_pad * 128) for a in _leaves(acc, g2)]
 
 
 @lru_cache(maxsize=None)
@@ -390,68 +480,6 @@ def _k_double_n_add_red_g2(n_doubles):
 
 
 @lru_cache(maxsize=None)
-def _k_fold_grid_red_g2(c, n_win):
-    n_buckets = 1 << c
-
-    def kernel(consts, b3, x0, x1, y0, y1, z0, z1,
-               ox0, ox1, oy0, oy1, oz0, oz1):
-        ops = mk_red_ops(consts[:])
-        b3p = (b3[:, 0:1], b3[:, 1:2])
-        bx = (x0[:], x1[:])
-        by = (y0[:], y1[:])
-        bz = (z0[:], z1[:])
-        zero = x0[:] * 0
-        one0 = zero + consts[:RL, 3:4]
-        idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_buckets), 1)
-        levels = c
-
-        def sel(mask, p, q):
-            return tuple(jnp.where(mask, a, b) for a, b in zip(p, q))
-
-        def plane(kk, acc):
-            bit = jnp.int32(c - 1) - kk
-            mask = ((idx >> bit) & 1) != 0
-            px = sel(mask, bx, (zero, zero))
-            py = sel(mask, by, (one0, zero))
-            pz = sel(mask, bz, (zero, zero))
-
-            def roll2(p, shift):
-                return (pltpu.roll(p[0], shift, 1),
-                        pltpu.roll(p[1], shift, 1))
-
-            def tree_level(i, cur):
-                half = jnp.int32(n_buckets) >> (i + 1)
-                shift = jnp.int32(n_buckets) - half
-                cx2, cy2, cz2 = cur
-                return g2_add_red(ops, b3p, (cx2, cy2, cz2),
-                                  (roll2(cx2, shift), roll2(cy2, shift),
-                                   roll2(cz2, shift)))
-
-            cur = jax.lax.fori_loop(0, levels, tree_level, (px, py, pz))
-            a2 = g2_double_red(ops, b3p, acc)
-            return g2_add_red(ops, b3p, a2, cur)
-
-        acc = ((zero, zero), (one0, zero), (zero, zero))
-        acc = jax.lax.fori_loop(0, c, plane, acc)
-        ox0[:], ox1[:] = acc[0]
-        oy0[:], oy1[:] = acc[1]
-        oz0[:], oz1[:] = acc[2]
-
-    cspec = pl.BlockSpec((RL, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((RL, 2), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    spec = pl.BlockSpec((RL, n_buckets), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-    total = n_win * n_buckets
-    return pl.pallas_call(
-        kernel,
-        grid=(n_win,),
-        in_specs=[cspec, bspec] + [spec] * 6,
-        out_specs=[spec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((RL, total), jnp.int32)] * 6,
-    )
-
-
-@lru_cache(maxsize=None)
 def _k_horner_all_red_g2(c, n_win):
     nb = 128
     total = n_win * nb
@@ -500,66 +528,6 @@ def _k_horner_all_red_g2(c, n_win):
 
 
 # ---------------- jnp reference stages (CPU test path) ----------------
-
-def _fold_ref(consts, coords, c, n_win, g2=False, b3=None):
-    """jnp bit-plane weighted fold over (RL, n_win*2^c) planes; returns the
-    same layout as the gridded kernel (window sums in lane w*2^c)."""
-    ops = mk_red_ops(consts)
-    n_buckets = 1 << c
-    if g2:
-        b3p = (b3[:, 0:1], b3[:, 1:2])
-        addf = lambda p, q: g2_add_red(ops, b3p, p, q)
-        dblf = lambda p: g2_double_red(ops, b3p, p)
-    else:
-        addf = lambda p, q: g1_add_red(ops, p, q)
-        dblf = lambda p: g1_double_red(ops, p)
-
-    def resh(a):
-        return a.reshape(RL, n_win, n_buckets)
-
-    def cmap(f, p):
-        if g2:
-            return tuple((f(a[0]), f(a[1])) for a in p)
-        return tuple(f(a) for a in p)
-
-    planes = cmap(resh, coords)
-    zero = jnp.zeros((RL, n_win, n_buckets), jnp.int32)
-    one = zero + jnp.asarray(_one_red_col()).reshape(RL, 1, 1)
-    ident = (((zero, zero), (one, zero), (zero, zero)) if g2
-             else (zero, one, zero))
-    zero1 = jnp.zeros((RL, n_win, 1), jnp.int32)
-    one1 = zero1 + jnp.asarray(_one_red_col()).reshape(RL, 1, 1)
-    ident1 = (((zero1, zero1), (one1, zero1), (zero1, zero1)) if g2
-              else (zero1, one1, zero1))
-    idx = jnp.arange(n_buckets)
-
-    def sel(mask, p, q):
-        if g2:
-            return tuple(
-                (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
-                for a, b in zip(p, q))
-        return tuple(jnp.where(mask, a, b) for a, b in zip(p, q))
-
-    acc = ident1
-    for plane_i in range(c):
-        bit = c - 1 - plane_i
-        mask = ((idx >> bit) & 1) != 0
-        cur = sel(mask[None, None, :], planes, ident)
-        half = n_buckets
-        while half > 1:
-            half //= 2
-            lhs = cmap(lambda a: a[:, :, :half], cur)
-            rhs = cmap(lambda a: a[:, :, half:2 * half], cur)
-            cur = addf(lhs, rhs)
-        acc = addf(dblf(acc), cur)
-    # place window sums at lane w*n_buckets like the kernel output
-    pad = n_buckets - 1
-
-    def place(a):
-        return jnp.pad(a, ((0, 0), (0, 0), (0, pad))).reshape(RL, -1)
-
-    return cmap(place, acc)
-
 
 def _horner_ref(consts, w128, c, n_win, g2=False, b3=None):
     """jnp window Horner over (RL, n_win*128) planes -> (RL, 1) coords."""
@@ -631,9 +599,16 @@ def _nest(leaves, g2):
     return tuple(leaves)
 
 
-def _pipeline(consts, b3, rows, one, digits_grp, b, c, k, nw, affine, g2):
+def _pipeline(consts, b3, rows, digits_grp, b, c, k, nw, g2):
     """One dense group: digits_grp (nw, b) -> ((RL, 128)-ballast coord
-    leaves with lane 0 live, overflow flag).  Traced (called under jit)."""
+    leaves with lane 0 live, overflow flag).  Traced (called under jit).
+
+    rows is the EXTENDED gather table (b+1, rows_pad): entry b is the
+    identity point (0, 1, 0).  Out-of-run lanes gather it via an arithmetic
+    index blend - NEVER via a select/where on the coordinate planes:
+    identity-substituting wheres at 2^22-lane widths silently fail on the
+    tail lanes on this stack (one corrupted slot, bit-identical across four
+    different graph variants; see tools/debug_red_stage.py)."""
     n_buckets = 1 << c
     nw_pad = _pow2ceil(nw)
     n_slots = nw * n_buckets
@@ -654,37 +629,24 @@ def _pipeline(consts, b3, rows, one, digits_grp, b, c, k, nw, affine, g2):
     ovf = jnp.any(jnp.where(live, ends - starts, 0) > k)
     j = jnp.arange(k, dtype=jnp.int32)
     src_sorted = starts[:, None] + j[None, :]
-    valid = (src_sorted < ends[:, None]).reshape(-1)[None]
+    vflat = (src_sorted < ends[:, None]).reshape(-1).astype(jnp.int32)
     src_orig = jnp.take(
         orig, jnp.clip(src_sorted.reshape(-1), 0, total - 1))
-    g = jnp.take(rows, src_orig, axis=0).T
-    zero_i = jnp.int32(0)
-
-    def plane(ci, ident):
-        return jnp.where(valid, g[ci * RL:(ci + 1) * RL], ident)
-
-    if g2:
-        if affine:
-            zc0 = jnp.where(valid, one, zero_i)
-            planes = [plane(0, zero_i), plane(1, zero_i),
-                      plane(2, one), plane(3, zero_i),
-                      zc0, jnp.zeros_like(zc0)]
-        else:
-            planes = [plane(0, zero_i), plane(1, zero_i),
-                      plane(2, one), plane(3, zero_i),
-                      plane(4, zero_i), plane(5, zero_i)]
-        dense = _nest(planes, True)
-    else:
-        if affine:
-            zc = jnp.where(valid, one, zero_i)
-            dense = (plane(0, zero_i), plane(1, one), zc)
-        else:
-            dense = (plane(0, zero_i), plane(1, one), plane(2, zero_i))
+    # arithmetic blend (immune to the select-lowering hazard): invalid
+    # lanes fetch the identity entry at table index b
+    src_safe = src_orig * vflat + (1 - vflat) * jnp.int32(b)
+    # uint32 view: int32 gathers from narrow tables corrupt lanes at 2^22
+    # indices on this stack; digits at rest are canonical [0, 4095]
+    g = jnp.take(rows.astype(jnp.uint32), src_safe,
+                 axis=0).T.astype(jnp.int32)
 
     def cmap(f, p):
         if g2:
             return tuple((f(a[0]), f(a[1])) for a in p)
         return tuple(f(a) for a in p)
+
+    planes = [g[ci * RL:(ci + 1) * RL] for ci in range(6 if g2 else 3)]
+    dense = _nest(planes, g2)
 
     per = k
     while per > 1:
@@ -698,24 +660,14 @@ def _pipeline(consts, b3, rows, one, digits_grp, b, c, k, nw, affine, g2):
             dense = _g1_add_red_dev(consts, lhs, rhs)
         per = half
 
+    folded = _pairfold(consts, b3, dense, c, nw_pad, g2)
     if use_pallas():
         if g2:
-            f = _k_fold_grid_red_g2(c, nw_pad)(consts, b3, *_leaves(dense, True))
-            folded = _nest(list(f), True)
-        else:
-            folded = _k_fold_grid_red(c, nw_pad)(consts, *dense)
-    else:
-        folded = _fold_ref(consts, dense, c, nw_pad, g2=g2, b3=b3)
-
-    w128 = cmap(lambda a: a.reshape(RL, nw_pad, n_buckets)[:, :, :128]
-                .reshape(RL, -1), folded)
-    if use_pallas():
-        if g2:
-            h = _k_horner_all_red_g2(c, nw_pad)(consts, b3, *_leaves(w128, True))
+            h = _k_horner_all_red_g2(c, nw_pad)(consts, b3, *folded)
             return list(h), ovf
-        h = _k_horner_all_red(c, nw_pad)(consts, *w128)
+        h = _k_horner_all_red(c, nw_pad)(consts, *folded)
         return list(h), ovf
-    res = _horner_ref(consts, w128, c, nw_pad, g2=g2, b3=b3)
+    res = _horner_ref(consts, _nest(folded, g2), c, nw_pad, g2=g2, b3=b3)
     return [jnp.pad(a, ((0, 0), (0, 127))) for a in _leaves(res, g2)], ovf
 
 
@@ -756,44 +708,50 @@ def _double_n_add(consts, b3, p_leaves, q_leaves, n_doubles, g2):
 
 
 @lru_cache(maxsize=None)
-def _jit_msm_dense_multi(b, c, affine, g2, main_nw, n_groups, main_k,
-                         tail_start, tail_nw, tail_k):
+def _jit_msm_dense_multi(b, c, g2, main_nw, n_groups, main_k,
+                         tail_start, tail_nw, tail_k, tail_c):
     """The whole MSM in ONE jit / one device dispatch.
 
     Windows [0, n_groups*main_nw) (zero-padded above the real top main
     window) run as a lax.scan over uniform groups of main_nw windows with
     capacity main_k; the remaining tail_nw windows (the structurally skewed
     top window) run once at capacity tail_k and are shifted into place with
-    c*tail_start on-device doublings.  digits_main: (n_groups*main_nw, b);
-    digits_tail: (tail_nw, b)."""
+    c*tail_start on-device doublings.  The tail runs at its OWN bucket
+    width 2^tail_c (the top window of 254-bit scalars spans only
+    254 - (n_win-1)*c bits; at the shared width its dense matrix would be
+    2^c slots x a huge capacity, nearly all identity ballast).
+    digits_main: (n_groups*main_nw, b); digits_tail: (tail_nw, b)."""
     n_planes = 6 if g2 else 3
-    n_gather = n_planes - (2 if (affine and g2) else 1 if affine else 0)
-    rows_used = n_gather * RL
-    rows_pad = max(64, _pow2ceil(rows_used))
+    rows_used = n_planes * RL
+    rows_pad = _pow2ceil(rows_used)
     consts_np = _g1_consts_red()
     b3_np = _g2_b3_red() if g2 else None
+    # identity table entry (row b): x = 0, y = one_mont, z = 0
+    ident_np = np.zeros((rows_used, 1), dtype=np.int32)
+    y0_row = 2 * RL if g2 else RL
+    ident_np[y0_row:y0_row + RL, 0] = _one_red_col()[:, 0]
 
     @jax.jit
     def run(points, digits_main, digits_tail):
         consts = jnp.asarray(consts_np)
         b3 = jnp.asarray(b3_np) if g2 else None
-        one = jnp.asarray(_one_red_col())
-        leaves = _leaves(points, g2)[:n_gather]
-        rows = jnp.concatenate(leaves, axis=0)
+        leaves = _leaves(points, g2)
+        rows = jnp.concatenate(leaves, axis=0)                 # (used, b)
+        rows = jnp.concatenate([rows, jnp.asarray(ident_np)], axis=1)
         rows = jnp.pad(rows, ((0, rows_pad - rows_used), (0, 0))).T
 
         ovf = jnp.bool_(False)
         res_m = None
         if n_groups == 1:
-            res_m, o = _pipeline(consts, b3, rows, one, digits_main,
-                                 b, c, main_k, main_nw, affine, g2)
+            res_m, o = _pipeline(consts, b3, rows, digits_main,
+                                 b, c, main_k, main_nw, g2)
             ovf |= o
         elif n_groups > 1:
             dg = digits_main.reshape(n_groups, main_nw, b)
 
             def step(carry, d):
-                r, o = _pipeline(consts, b3, rows, one, d,
-                                 b, c, main_k, main_nw, affine, g2)
+                r, o = _pipeline(consts, b3, rows, d,
+                                 b, c, main_k, main_nw, g2)
                 return carry, (r, o)
 
             _, (rs, ovfs) = jax.lax.scan(step, jnp.int32(0), dg)
@@ -801,8 +759,8 @@ def _jit_msm_dense_multi(b, c, affine, g2, main_nw, n_groups, main_k,
                                   n_groups, g2)
             ovf |= jnp.any(ovfs)
         if tail_nw:
-            res_t, o = _pipeline(consts, b3, rows, one, digits_tail,
-                                 b, c, tail_k, tail_nw, affine, g2)
+            res_t, o = _pipeline(consts, b3, rows, digits_tail,
+                                 b, tail_c, tail_k, tail_nw, g2)
             ovf |= o
             if res_m is None:
                 res = res_t
@@ -815,6 +773,20 @@ def _jit_msm_dense_multi(b, c, affine, g2, main_nw, n_groups, main_k,
         return out, ovf
 
     return run
+
+
+def best_c(n):
+    """Window bits minimizing dense-pipeline work for n uniform scalars.
+
+    Per-window tree+gather work is ~2n lanes whenever the expected bucket
+    occupancy n/2^c stays >= 32 (capacity k = pow2ceil(mean + 4*sqrt(mean)
+    + 8) = 2*mean there; below that the pow2 rounding pushes k to 4*mean),
+    and the pairfold adds only ~2*2^c per window - so total work is
+    ~2n * ceil(254/c): maximize c subject to mean >= 32.  Capped at 13 so
+    device-side digit extraction (window_digits_device, one 13-bit limb
+    pair per window) keeps working."""
+    import math
+    return min(13, max(7, int(math.log2(max(2, n))) - 5))
 
 
 def _static_plan_ks(b, c, n_windows, scalar_bits=254):
@@ -850,13 +822,95 @@ def _plan(ks, c, max_lanes):
     return main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m
 
 
-def _dense_red_driver(points, digits, c, affine, g2, max_lanes, ks=None):
+def _tail_c(digits_tail_np, scalar_bits, m, c):
+    """Bucket-width (log2) for the tail window: just wide enough for its
+    digit range, >= 7 (the 128-lane Mosaic minimum)."""
+    if digits_tail_np is not None:
+        bits = int(np.asarray(digits_tail_np).max()).bit_length()
+    else:
+        bits = max(1, scalar_bits - m * c)
+    return max(7, min(c, bits))
+
+
+@lru_cache(maxsize=None)
+def _jit_ones_sum(npad, g2):
+    """Plain sum of the points selected by a (npad,) index vector (-1 =
+    skip): gather-redirect to an identity table entry + halving add tree.
+    Used for scalar==1 columns (ubiquitous in bit-decomposition circuits:
+    the reference's multi_exp_with_mixed_addition filters them the same
+    way, libsnark) - running them through Pippenger would blow the dense
+    capacity of bucket 1."""
+    consts_np = _g1_consts_red()
+    b3_np = _g2_b3_red() if g2 else None
+    n_planes = 6 if g2 else 3
+    rows_used = n_planes * RL
+    ident_np = np.zeros((rows_used, 1), dtype=np.int32)
+    y0_row = 2 * RL if g2 else RL
+    ident_np[y0_row:y0_row + RL, 0] = _one_red_col()[:, 0]
+
+    @jax.jit
+    def run(points, idx):
+        consts = jnp.asarray(consts_np)
+        b3 = jnp.asarray(b3_np) if g2 else None
+        leaves = _leaves(points, g2)
+        b = leaves[0].shape[1]
+        rows = jnp.concatenate(leaves, axis=0)
+        rows = jnp.concatenate([rows, jnp.asarray(ident_np)], axis=1).T
+        sel = (idx >= 0).astype(jnp.int32)
+        safe = jnp.maximum(idx, 0) * sel + (1 - sel) * jnp.int32(b)
+        g = jnp.take(rows.astype(jnp.uint32), safe,
+                     axis=0).T.astype(jnp.int32)
+        cur = _nest([g[ci * RL:(ci + 1) * RL] for ci in range(n_planes)],
+                    g2)
+        w = npad
+        while w > 1:
+            half = w // 2
+            lhs = _cmapf(lambda a: a[:, :half], cur, g2)
+            rhs = _cmapf(lambda a: a[:, half:], cur, g2)
+            cur = _padded_add(consts, b3, lhs, rhs, g2)
+            w = half
+        return cur
+
+    return run
+
+
+def _ones_sum_red(points, idx, g2):
+    """Device sum of points[idx]; host point result."""
+    npad = _pow2ceil(max(2, len(idx)))
+    full = np.full(npad, -1, dtype=np.int32)
+    full[:len(idx)] = idx
+    res = _jit_ones_sum(npad, g2)(points, jnp.asarray(full))
+    return (g2_from_red if g2 else g1_from_red)(
+        _cmapf(lambda a: a[:, :1], res, g2))[0]
+
+
+def _dense_red_driver(points, digits, c, g2, max_lanes, ks=None):
     n_windows, b = digits.shape
-    if ks is None:
+    host_planned = ks is None
+    ones_part = None
+    if host_planned:
         digits = np.asarray(digits)
+        # scalar==1 columns (bit-decomposition circuits) pile onto bucket 1
+        # of window 0 and would dominate its dense capacity: route them
+        # through a plain device point-sum instead (the reference's
+        # mixed-addition filtering, libsnark multi_exp_with_mixed_addition)
+        is_one = (digits[0] == 1) & (digits[1:] == 0).all(axis=0) \
+            if n_windows > 1 else (digits[0] == 1)
+        n_ones = int(is_one.sum())
+        if n_ones > 4 * max(1, b >> c) + 64:
+            idx = np.nonzero(is_one)[0].astype(np.int32)
+            ones_part = _ones_sum_red(points, idx, g2)
+            digits = digits.copy()
+            digits[:, idx] = 0
         ks = _window_ks(b, c, digits)
     main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m = \
         _plan(ks, c, max_lanes)
+    if (1 << c) * max(main_k, tail_k) > (1 << 26):
+        raise ValueError(
+            "dense MSM capacity explosion (k=%d at c=%d): extremely "
+            "repetitive scalar distribution - reduce c or extend the "
+            "mixed-addition filtering in _dense_red_driver" %
+            (max(main_k, tail_k), c))
     pad_rows = n_groups * main_nw - m
     xp = np if isinstance(digits, np.ndarray) else jnp
     dm = digits[:m]
@@ -864,8 +918,10 @@ def _dense_red_driver(points, digits, c, affine, g2, max_lanes, ks=None):
         dm = xp.concatenate(
             [dm, xp.zeros((pad_rows, b), dtype=digits.dtype)])
     dt = digits[m:] if tail_nw else xp.zeros((1, b), digits.dtype)
-    run = _jit_msm_dense_multi(b, c, affine, g2, main_nw, n_groups,
-                               main_k, tail_start, tail_nw, tail_k)
+    tc = _tail_c(dt if (tail_nw and host_planned) else None, 254, m, c) \
+        if tail_nw else 7
+    run = _jit_msm_dense_multi(b, c, g2, main_nw, n_groups,
+                               main_k, tail_start, tail_nw, tail_k, tc)
     res, ovf = run(points, jnp.asarray(dm), jnp.asarray(dt))
     if bool(ovf):
         # static plan undershot (or stale cached capacities): replan from
@@ -874,32 +930,38 @@ def _dense_red_driver(points, digits, c, affine, g2, max_lanes, ks=None):
         exact = _window_ks(b, c, digits_np)
         if exact == list(ks):
             raise AssertionError("dense MSM capacity overflow (plan bug)")
-        return _dense_red_driver(points, digits_np, c, affine, g2,
-                                 max_lanes, ks=exact)
-    from_dev = g2_from_red if g2 else g1_from_red
-    return from_dev(res)[0]
+        out = _dense_red_driver(points, digits_np, c, g2,
+                                max_lanes, ks=exact)
+    else:
+        from_dev = g2_from_red if g2 else g1_from_red
+        out = from_dev(res)[0]
+    if ones_part is not None:
+        from ..bn254 import add as host_add
+        out = host_add(out, ones_part)
+    return out
 
 
-def msm_g1_dense_red(points, digits, c, affine=True, max_lanes=1 << 23,
-                     static_plan=False):
+def msm_g1_dense_red(points, digits, c, max_lanes=1 << 23,
+                     static_plan=False, affine=None):
     """Dense all-windows G1 MSM on the red core; host affine result.
 
-    points: red (X, Y, Z) device arrays from :func:`g1_to_red` (Z ignored
-    when ``affine`` - the caller promises no infinity inputs).
+    points: red (X, Y, Z) device arrays from :func:`g1_to_red` (infinity
+    entries are fine - they are already the (0, 1, 0) identity).
 
     static_plan: skip host digit inspection and use distribution-free
     capacities (keeps device-resident digits on-chip; use for uniform
-    scalars like the prover's H query)."""
+    scalars like the prover's H query).
+
+    affine: accepted for API compatibility, ignored (the gather table
+    always carries z; identity substitution happens by gather redirect)."""
     ks = (_static_plan_ks(digits.shape[1], c, digits.shape[0])
           if static_plan else None)
-    return _dense_red_driver(points, digits, c, affine, False, max_lanes,
-                             ks=ks)
+    return _dense_red_driver(points, digits, c, False, max_lanes, ks=ks)
 
 
-def msm_g2_dense_red(points, digits, c, affine=True, max_lanes=1 << 22,
-                     static_plan=False):
+def msm_g2_dense_red(points, digits, c, max_lanes=1 << 22,
+                     static_plan=False, affine=None):
     """Dense all-windows G2 MSM on the red core; host (Fq2, Fq2) result."""
     ks = (_static_plan_ks(digits.shape[1], c, digits.shape[0])
           if static_plan else None)
-    return _dense_red_driver(points, digits, c, affine, True, max_lanes,
-                             ks=ks)
+    return _dense_red_driver(points, digits, c, True, max_lanes, ks=ks)

@@ -102,7 +102,14 @@ class QAP(object):
 
     def witness_map_device(self, witness_values):
         """Host ints -> device H coefficients (bitrev).  Returns jax array."""
-        w = Fr.to_mont_jit(Fr.to_limbs(witness_values))
+        return self.witness_map_device_limbs(
+            Fr.to_limbs_fast(witness_values))
+
+    def witness_map_device_limbs(self, witness_limbs):
+        """Canonical 13-bit limb array (L, nv) uint32 -> device H coeffs
+        (bitrev).  Lets the prover share ONE limb decomposition between the
+        witness map and the A/B/L digit extraction."""
+        w = Fr.to_mont_jit(witness_limbs)
         return self._witness_map_jit(w)
 
     # ------------- host instance map (setup time, exact) -------------
