@@ -789,47 +789,47 @@ def best_c(n):
     return min(13, max(7, int(math.log2(max(2, n))) - 5))
 
 
-def _static_plan_ks(b, c, n_windows, scalar_bits=254):
+def _static_plan_ks(b, c, n_windows, tail_bits):
     """Distribution-free per-window capacities for uniform-random scalars
     (e.g. the H query's iFFT outputs): no host digit inspection needed, so
     device-resident digits never cross the tunnel.  The overflow flag backs
     this up - on the (astronomically rare) overflow the driver replans from
-    host digits."""
+    host digits.  tail_bits: bit span of the (possibly merged) top window."""
     import math
+    from ..bn254 import CURVE_ORDER
     mean = max(1, b >> c)
     k_uni = _pow2ceil(mean + 4 * int(math.isqrt(mean)) + 8)
     ks = [k_uni] * n_windows
-    top_bits = scalar_bits - (n_windows - 1) * c
-    if n_windows > 1 and 0 < top_bits < c:
-        mean_top = max(1, b >> top_bits)
-        ks[-1] = _pow2ceil(2 * mean_top + 6 * int(math.isqrt(mean_top)) + 16)
+    if n_windows > 1 and tail_bits != c:
+        # the top window's digits are uniform over [0, r >> (254-bits)],
+        # not over the full 2^bits range
+        n_top = max(1, CURVE_ORDER >> (254 - tail_bits))
+        mean_top = max(1, b // n_top)
+        ks[-1] = _pow2ceil(mean_top + 5 * int(math.isqrt(mean_top)) + 16)
     return ks
 
 
-def _plan(ks, c, max_lanes):
+def _plan(ks, c, max_lanes, force_tail=False):
     """(main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m)."""
     n_windows = len(ks)
-    main_k = max(ks[:-1]) if n_windows > 1 else ks[0]
-    if n_windows > 1 and ks[-1] > main_k:
+    if n_windows > 1:
+        main_k = max(ks[:-1])
+        tail = force_tail or ks[-1] > main_k
+    else:
+        main_k = ks[0]
+        tail = False
+    if tail:
         tail_nw, tail_k, tail_start = 1, ks[-1], n_windows - 1
     else:
         tail_nw, tail_k, tail_start = 0, 0, 0
         main_k = max(ks)
     m = n_windows - tail_nw
+    if m == 0:
+        return 1, 0, 0, tail_start, tail_nw, tail_k, 0
     budget_nw = max(1, max_lanes // ((1 << c) * main_k))
     main_nw = min(1 << (budget_nw.bit_length() - 1), _pow2ceil(m))
     n_groups = -(-m // main_nw)
     return main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m
-
-
-def _tail_c(digits_tail_np, scalar_bits, m, c):
-    """Bucket-width (log2) for the tail window: just wide enough for its
-    digit range, >= 7 (the 128-lane Mosaic minimum)."""
-    if digits_tail_np is not None:
-        bits = int(np.asarray(digits_tail_np).max()).bit_length()
-    else:
-        bits = max(1, scalar_bits - m * c)
-    return max(7, min(c, bits))
 
 
 @lru_cache(maxsize=None)
@@ -884,11 +884,12 @@ def _ones_sum_red(points, idx, g2):
         _cmapf(lambda a: a[:, :1], res, g2))[0]
 
 
-def _dense_red_driver(points, digits, c, g2, max_lanes, ks=None):
+def _dense_red_driver(points, digits, c, g2, max_lanes,
+                      static_plan=False, ks=None):
     n_windows, b = digits.shape
-    host_planned = ks is None
+    host_planned = not static_plan
     ones_part = None
-    if host_planned:
+    if host_planned and ks is None:
         digits = np.asarray(digits)
         # scalar==1 columns (bit-decomposition circuits) pile onto bucket 1
         # of window 0 and would dominate its dense capacity: route them
@@ -902,30 +903,57 @@ def _dense_red_driver(points, digits, c, g2, max_lanes, ks=None):
             ones_part = _ones_sum_red(points, idx, g2)
             digits = digits.copy()
             digits[:, idx] = 0
-        ks = _window_ks(b, c, digits)
+
+    # A narrow top window (254-bit scalars rarely split evenly into c-bit
+    # windows) is MERGED into the window below it: the tail then runs at
+    # bucket width 2^(c + top_bits) with normal occupancy, instead of 128
+    # padded slots x a b/2^top_bits capacity (a 2^16/c=11 run allocated a
+    # ~4GB gather for a 1-bit top window before this).
+    xp = np if isinstance(digits, np.ndarray) else jnp
+    top_bits = max(1, 254 - (n_windows - 1) * c)
+    merged = n_windows >= 2 and top_bits < 7
+    if merged:
+        row = digits[-2] + (digits[-1].astype(xp.uint32) << c)
+        digits = xp.concatenate([digits[:-2], row[None]], axis=0)
+        n_windows -= 1
+        tail_bits = c + top_bits
+    else:
+        tail_bits = top_bits if n_windows > 1 else c
+
+    if ks is None:
+        if host_planned:
+            ks = _window_ks(b, c, digits)
+        else:
+            ks = _static_plan_ks(b, c, n_windows, tail_bits)
     main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m = \
-        _plan(ks, c, max_lanes)
-    if (1 << c) * max(main_k, tail_k) > (1 << 26):
+        _plan(ks, c, max_lanes, force_tail=merged)
+    if (1 << c) * main_k > (1 << 26) or \
+            (tail_nw and (1 << min(tail_bits, 13)) * tail_k > (1 << 26)):
         raise ValueError(
-            "dense MSM capacity explosion (k=%d at c=%d): extremely "
+            "dense MSM capacity explosion (k=%d/%d at c=%d): extremely "
             "repetitive scalar distribution - reduce c or extend the "
             "mixed-addition filtering in _dense_red_driver" %
-            (max(main_k, tail_k), c))
+            (main_k, tail_k, c))
     pad_rows = n_groups * main_nw - m
-    xp = np if isinstance(digits, np.ndarray) else jnp
     dm = digits[:m]
     if pad_rows:
         dm = xp.concatenate(
             [dm, xp.zeros((pad_rows, b), dtype=digits.dtype)])
     dt = digits[m:] if tail_nw else xp.zeros((1, b), digits.dtype)
-    tc = _tail_c(dt if (tail_nw and host_planned) else None, 254, m, c) \
-        if tail_nw else 7
+    if tail_nw:
+        if host_planned:
+            bits = int(np.asarray(dt).max()).bit_length()
+            tc = max(7, min(tail_bits, bits))
+        else:
+            tc = max(7, tail_bits)
+    else:
+        tc = 7
     run = _jit_msm_dense_multi(b, c, g2, main_nw, n_groups,
                                main_k, tail_start, tail_nw, tail_k, tc)
     res, ovf = run(points, jnp.asarray(dm), jnp.asarray(dt))
     if bool(ovf):
         # static plan undershot (or stale cached capacities): replan from
-        # the actual digits
+        # the actual (possibly merged) digits
         digits_np = np.asarray(digits)
         exact = _window_ks(b, c, digits_np)
         if exact == list(ks):
@@ -954,14 +982,12 @@ def msm_g1_dense_red(points, digits, c, max_lanes=1 << 23,
 
     affine: accepted for API compatibility, ignored (the gather table
     always carries z; identity substitution happens by gather redirect)."""
-    ks = (_static_plan_ks(digits.shape[1], c, digits.shape[0])
-          if static_plan else None)
-    return _dense_red_driver(points, digits, c, False, max_lanes, ks=ks)
+    return _dense_red_driver(points, digits, c, False, max_lanes,
+                             static_plan=static_plan)
 
 
 def msm_g2_dense_red(points, digits, c, max_lanes=1 << 22,
                      static_plan=False, affine=None):
     """Dense all-windows G2 MSM on the red core; host (Fq2, Fq2) result."""
-    ks = (_static_plan_ks(digits.shape[1], c, digits.shape[0])
-          if static_plan else None)
-    return _dense_red_driver(points, digits, c, True, max_lanes, ks=ks)
+    return _dense_red_driver(points, digits, c, True, max_lanes,
+                             static_plan=static_plan)
