@@ -1,12 +1,22 @@
 """EdDSA over Baby-JubJub: Pure / Pedersen-prehashed / MiMC variants.
 
-Parity with ``/root/reference/ethsnarks/eddsa.py``:
- - nonce r = sha512(k || M) little-endian mod JUBJUB_L,
- - s = r + H(R, A, M) * k mod JUBJUB_E,
- - PureEdDSA: H = x-coordinate of the Pedersen hash of BITS(R)||BITS(A)||BITS(M)
-   with personalization 'EdDSA_Verify.RAM',
- - EdDSA: message is pre-hashed with Pedersen ('EdDSA_Verify.M'),
- - MiMCEdDSA: H = MiMC-MP hash of the scalars with seed 'EdDSA_Verify.RAM'.
+Scheme parity with the reference library's ``ethsnarks/eddsa.py`` and the
+C++ circuit (``/root/reference/src/jubjub/eddsa.cpp``) — signatures are
+interchangeable bit-for-bit:
+
+ - nonce  r = sha512(k || M) read little-endian, reduced mod JUBJUB_L;
+ - s = r + H(R, A, M) * k  mod JUBJUB_E;
+ - PureEdDSA: H = x-coordinate of the Pedersen hash (personalization
+   'EdDSA_Verify.RAM') over BITS(R.x) || BITS(A.x) || BITS(M);
+ - EdDSA: M is first compressed to a point by the Pedersen hash with
+   personalization 'EdDSA_Verify.M';
+ - MiMCEdDSA: H = MiMC-MP over the flattened scalars, seed
+   'EdDSA_Verify.RAM'.
+
+This implementation is independent of the reference source: message
+serialization is a module-level type-dispatch table (bit sequences are
+LSB-first '0'/'1' strings — see :meth:`field.FQ.bits`), not per-scheme
+``bitstring`` plumbing.
 """
 
 from collections import namedtuple
@@ -21,6 +31,41 @@ P13N_EDDSA_VERIFY_M = 'EdDSA_Verify.M'
 P13N_EDDSA_VERIFY_RAM = 'EdDSA_Verify.RAM'
 
 
+# ---------------- message serialization ----------------
+
+def _bytes_of(item):
+    if isinstance(item, Point):
+        return item.x.to_bytes('little') + item.y.to_bytes('little')
+    if isinstance(item, FQ):
+        return item.to_bytes('little')
+    if isinstance(item, int):
+        return item.to_bytes(32, 'little')
+    if isinstance(item, str):
+        return item.encode('ascii')
+    if isinstance(item, bytes):
+        return item
+    if isinstance(item, (list, tuple)):
+        return b''.join(_bytes_of(x) for x in item)
+    raise TypeError("Bad type for M: " + str(type(item)))
+
+
+def _bits_of(item):
+    if isinstance(item, Point):
+        return item.x.bits()
+    if isinstance(item, FQ):
+        return item.bits()
+    if isinstance(item, bytes):
+        # each byte contributes its bits MSB-first (BitArray convention)
+        return ''.join(format(b, '08b') for b in item)
+    if isinstance(item, str) and not set(item) - {'0', '1'}:
+        return item
+    if isinstance(item, (list, tuple)):
+        return ''.join(_bits_of(x) for x in item)
+    raise TypeError("Bad type for M: " + str(type(item)))
+
+
+# ---------------- signature containers ----------------
+
 class Signature(object):
     __slots__ = ('R', 's')
 
@@ -30,59 +75,32 @@ class Signature(object):
         assert self.s.m == JUBJUB_Q
 
     def __iter__(self):
-        return iter([self.R, self.s])
+        return iter((self.R, self.s))
 
     def __str__(self):
-        return ' '.join(str(_) for _ in [self.R.x, self.R.y, self.s])
+        return '%s %s %s' % (self.R.x, self.R.y, self.s)
 
 
 class SignedMessage(namedtuple('_SignedMessage', ('A', 'sig', 'msg'))):
     def __str__(self):
-        return ' '.join(str(_) for _ in [self.A, self.sig, self.msg])
+        return '%s %s %s' % self
 
+
+# ---------------- schemes ----------------
 
 class _SignatureScheme(object):
+    """Template-method base: subclasses choose the public challenge hash
+    (``hash_public``) and optional message compression
+    (``prehash_message``)."""
+
+    # serialization helpers kept on the class for API parity
     @classmethod
     def to_bytes(cls, *args):
-        result = b''
-        for M in args:
-            if isinstance(M, Point):
-                result += M.x.to_bytes('little')
-                result += M.y.to_bytes('little')
-            elif isinstance(M, FQ):
-                result += M.to_bytes('little')
-            elif isinstance(M, (list, tuple)):
-                result += b''.join(cls.to_bytes(_) for _ in M)
-            elif isinstance(M, int):
-                result += M.to_bytes(32, 'little')
-            elif isinstance(M, str):
-                result += M.encode('ascii')
-            elif isinstance(M, bytes):
-                result += M
-            else:
-                raise TypeError("Bad type for M: " + str(type(M)))
-        return result
+        return _bytes_of(args)
 
     @classmethod
     def to_bits(cls, *args):
-        """Concatenated LSB-first bit strings ('0'/'1' chars)."""
-        result = ''
-        for M in args:
-            if isinstance(M, Point):
-                result += M.x.bits()
-            elif isinstance(M, FQ):
-                result += M.bits()
-            elif isinstance(M, (list, tuple)):
-                for _ in M:
-                    result += cls.to_bits(_)
-            elif isinstance(M, bytes):
-                # Bytes append MSB-first per byte (BitArray semantics).
-                result += ''.join(bin(b)[2:].rjust(8, '0') for b in M)
-            elif isinstance(M, str) and set(M) <= {'0', '1'}:
-                result += M
-            else:
-                raise TypeError("Bad type for M: " + str(type(M)))
-        return result
+        return _bits_of(args)
 
     @classmethod
     def prehash_message(cls, M):
@@ -94,10 +112,10 @@ class _SignatureScheme(object):
 
     @classmethod
     def hash_secret(cls, k, *args):
-        """r = sha512(k || M) interpreted little-endian, reduced mod L."""
+        """Deterministic nonce r = LE(sha512(k || M)) mod L."""
         assert isinstance(k, FQ)
-        data = b''.join(cls.to_bytes(_) for _ in (k,) + args)
-        return int.from_bytes(sha512(data).digest(), 'little') % JUBJUB_L
+        digest = sha512(_bytes_of((k,) + args)).digest()
+        return int.from_bytes(digest, 'little') % JUBJUB_L
 
     @classmethod
     def B(cls):
@@ -113,35 +131,30 @@ class _SignatureScheme(object):
     def sign(cls, msg, key, B=None):
         if not isinstance(key, FQ):
             raise TypeError("Invalid type for parameter k")
-        if key.n >= JUBJUB_L or key.n <= 0:
+        if not 0 < key.n < JUBJUB_L:
             raise RuntimeError("Strict parsing of k failed")
         B = B or cls.B()
         A = B * key
         M = cls.prehash_message(msg)
         r = cls.hash_secret(key, M)
         R = B * r
-        t = cls.hash_public(R, A, M)
-        S = (r + (key.n * t)) % JUBJUB_E
-        return SignedMessage(A, Signature(R, S), msg)
+        s = (r + key.n * cls.hash_public(R, A, M)) % JUBJUB_E
+        return SignedMessage(A, Signature(R, s), msg)
 
     @classmethod
     def verify(cls, A, sig, msg, B=None):
-        if not isinstance(A, Point):
-            A = Point(*A)
-        if not isinstance(sig, Signature):
-            sig = Signature(*sig)
-        R, S = sig
+        A = A if isinstance(A, Point) else Point(*A)
+        sig = sig if isinstance(sig, Signature) else Signature(*sig)
         B = B or cls.B()
-        lhs = B * S
         M = cls.prehash_message(msg)
-        rhs = R + (A * cls.hash_public(R, A, M))
-        return lhs == rhs
+        t = cls.hash_public(sig.R, A, M)
+        return B * sig.s == sig.R + A * t
 
 
 class PureEdDSA(_SignatureScheme):
     @classmethod
     def hash_public(cls, *args, p13n=P13N_EDDSA_VERIFY_RAM):
-        return pedersen_hash_bits(p13n, cls.to_bits(*args)).x.n
+        return pedersen_hash_bits(p13n, _bits_of(args)).x.n
 
 
 class EdDSA(PureEdDSA):
@@ -151,18 +164,17 @@ class EdDSA(PureEdDSA):
 
 
 def as_scalar(*args):
-    """Flatten FQ/int/Point/list arguments into a stream of ints."""
+    """Flatten FQ/int/Point/sequence arguments into a stream of ints."""
     for x in args:
         if isinstance(x, FQ):
-            yield int(x)
+            yield x.n
         elif isinstance(x, int):
             yield x
         elif isinstance(x, Point):
-            yield int(x.x)
-            yield int(x.y)
+            yield x.x.n
+            yield x.y.n
         elif isinstance(x, (tuple, list)):
-            for _ in as_scalar(*x):
-                yield _
+            yield from as_scalar(*x)
         else:
             raise TypeError("Unknown type " + str(type(x)))
 

@@ -1,14 +1,20 @@
 """Baby-JubJub twisted Edwards curve over the BN254 scalar field (host oracle).
 
-Coordinate systems and API match the reference
-(``/root/reference/ethsnarks/jubjub.py``): affine ``Point``, projective
-``ProjPoint`` (BBJLP'08), Montgomery ``MontPoint``, and extended
-``EtecPoint`` (HWCD'08), with wNAF scalar multiplication helpers.  Curve:
+Four interchangeable coordinate systems, each a thin namedtuple over exact
+:class:`~ethsnarks_tpu.field.FQ` elements:
 
-    a*x^2 + y^2 = 1 + d*x^2*y^2,  a = 168700, d = 168696
+ - ``Point``      affine (x, y) on  a*x^2 + y^2 = 1 + d*x^2*y^2
+ - ``ProjPoint``  homogeneous (X, Y, Z), BBJLP'08 unified formulas
+ - ``EtecPoint``  extended (X, Y, T, Z) with T = XY/Z, HWCD'08 formulas
+ - ``MontPoint``  birational Montgomery form  B*v^2 = u^3 + A*u^2 + u
 
-over p = SNARK_SCALAR_FIELD; cofactor 8; prime subgroup order JUBJUB_L.
-The vectorized device kernels live in :mod:`ethsnarks_tpu.ops.jubjub_ops`.
+Curve constants: a = 168700, d = 168696 over p = SNARK_SCALAR_FIELD,
+cofactor 8, prime subgroup order ``JUBJUB_L``.  Formulas follow the
+Explicit-Formulas Database entries named in each docstring (add-2008-bbjlp,
+dbl-2008-bbjlp, add/dbl-2008-hwcd) — the same math the reference library
+(``ethsnarks/jubjub.py``) and the C++ gadgets pin, so all outputs are
+bit-exact across implementations.  The vectorized device kernels live in
+:mod:`ethsnarks_tpu.ops.jubjub_ops`.
 """
 
 from os import urandom
@@ -25,19 +31,31 @@ JUBJUB_L = JUBJUB_E // JUBJUB_C
 JUBJUB_A = 168700
 JUBJUB_D = 168696
 
-# Birational Montgomery form (BBJLP'08 theorem 3.2).
+# Birational Montgomery form, "Twisted Edwards Curves" (BBJLP'08) thm 3.2:
+#   A = 2(a+d)/(a-d),  B = 4/(a-d)  — both exact integers for this curve.
 MONT_A = 168698
 MONT_B = 1
 MONT_A24 = (MONT_A + 2) // 4
 assert MONT_A24 * 4 == MONT_A + 2
+assert MONT_A == 2 * (JUBJUB_A + JUBJUB_D) // (JUBJUB_A - JUBJUB_D)
+assert MONT_B * (JUBJUB_A - JUBJUB_D) == 4
+
+_A = FQ(JUBJUB_A)
+_D = FQ(JUBJUB_D)
 
 
 def is_negative(v):
+    """A field element is 'negative' when it exceeds its additive inverse
+    (i.e. its canonical representative is in the upper half of the field)."""
     assert isinstance(v, FQ)
     return v.n < (-v).n
 
 
 class AbstractCurveOps(object):
+    """Operator sugar + generic scalar multiplication shared by every
+    coordinate system.  Subclasses provide add/neg/infinity and the
+    as_point/as_proj/as_etec/as_mont conversion set."""
+
     def __neg__(self):
         return self.neg()
 
@@ -63,46 +81,48 @@ class AbstractCurveOps(object):
         return is_negative(self.as_point().x)
 
     def sign(self):
-        return 1 if self.is_negative() else 0
+        return int(self.is_negative())
 
     def mult(self, scalar):
-        """Binary double-and-add (LSB first)."""
+        """LSB-first double-and-add over the plain int value of ``scalar``."""
         if isinstance(scalar, FQ):
-            if scalar.m not in [SNARK_SCALAR_FIELD, JUBJUB_E, JUBJUB_L]:
+            if scalar.m not in (SNARK_SCALAR_FIELD, JUBJUB_E, JUBJUB_L):
                 raise ValueError("Invalid field modulus")
             scalar = scalar.n
-        acc = self.infinity()
-        base = self
-        while scalar != 0:
-            if scalar & 1:
-                acc = acc.add(base)
-            base = base.double()
-            scalar >>= 1
-        return acc
+        result = self.infinity()
+        addend = self
+        remaining = int(scalar)
+        while remaining:
+            if remaining & 1:
+                result = result.add(addend)
+            remaining >>= 1
+            if remaining:
+                addend = addend.double()
+        return result
 
     def mult_wnaf(self, scalar, window=5):
         return mult_naf_lut(self, scalar, window)
 
     @classmethod
     def all_loworder_points(cls):
-        """The 8 low-order (cofactor) points of the curve (curve data; same
-        set as the reference's hardcoded list / notloworder.hpp:19-31)."""
-        out = [Point(FQ(0), FQ(1)), Point(FQ(0), FQ(-1))]
-        # Order-4 points on the x axis: a*x^2 = 1.
-        x4 = FQ(JUBJUB_A).inv().sqrt()
-        out += [Point(x4, FQ(0)), Point(-x4, FQ(0))]
-        # Order-8 points: doubling lands on the x axis, so y^2 = a*x^2 with
-        # d*a*(x^2)^2 - 2*a*x^2 + 1 = 0.
-        disc = (FQ(JUBJUB_A) * JUBJUB_A - FQ(JUBJUB_A) * JUBJUB_D).sqrt()
-        for sgn in (1, -1):
-            xsq = (FQ(JUBJUB_A) + sgn * disc) / (FQ(JUBJUB_D) * JUBJUB_A)
+        """The full 8-torsion: identity, the order-2 point (0, -1), two
+        order-4 points on y = 0 (a*x^2 = 1), and four order-8 points whose
+        doubles land on y = 0 (so d*a*x^4 - 2a*x^2 + 1 = 0).  Computed from
+        the curve equation rather than hardcoded; matches the reference's
+        list (notloworder.hpp:19-31)."""
+        pts = [Point(FQ(0), FQ(1)), Point(FQ(0), FQ(-1))]
+        x4 = _A.inv().sqrt()
+        pts += [Point(x4, FQ(0)), Point(-x4, FQ(0))]
+        root = (_A * _A - _A * _D).sqrt()
+        for xsq in ((_A + root) / (_D * _A), (_A - root) / (_D * _A)):
             try:
                 x8 = xsq.sqrt()
             except SquareRootError:
                 continue
-            y8 = (xsq * JUBJUB_A).sqrt()
-            out += [Point(x8, y8), Point(x8, -y8), Point(-x8, y8), Point(-x8, -y8)]
-        return out
+            y8 = (xsq * _A).sqrt()
+            pts += [Point(sx * x8, sy * y8)
+                    for sx in (FQ(1), FQ(-1)) for sy in (FQ(1), FQ(-1))]
+        return pts
 
     @classmethod
     def decompress(cls, point):
@@ -110,8 +130,10 @@ class AbstractCurveOps(object):
 
 
 class Point(AbstractCurveOps, namedtuple('_Point', ('x', 'y'))):
+    """Affine coordinates; the canonical/comparison form."""
+
     def __str__(self):
-        return ' '.join(str(_) for _ in self)
+        return '%s %s' % self
 
     def __eq__(self, other):
         return self.x == other.x and self.y == other.y
@@ -131,79 +153,74 @@ class Point(AbstractCurveOps, namedtuple('_Point', ('x', 'y'))):
 
     @classmethod
     def from_y(cls, y, sign=None):
-        """Recover x from y: x^2 = (y^2 - 1) / (d*y^2 - a); raises if nonsquare."""
-        assert isinstance(y, FQ)
-        assert y.m == JUBJUB_Q
+        """Solve x^2 = (y^2 - 1)/(d*y^2 - a); SquareRootError if off-curve.
+        With ``sign`` given, pick the root whose low bit matches; otherwise
+        normalize to the non-negative root."""
+        assert isinstance(y, FQ) and y.m == JUBJUB_Q
         ysq = y * y
-        xsq = (ysq - 1) / (JUBJUB_D * ysq - JUBJUB_A)
-        x = xsq.sqrt()
+        x = ((ysq - 1) / (_D * ysq - _A)).sqrt()
         if sign is not None:
-            if (x.n & 1) != sign:
-                x = -x
-        elif is_negative(x):
-            x = -x
-        return cls(x, y)
+            return cls(x if (x.n & 1) == sign else -x, y)
+        return cls(-x if is_negative(x) else x, y)
 
     @classmethod
     def from_x(cls, x):
-        """Recover y from x: y^2 = (a*x^2 - 1) / (d*x^2 - 1)."""
-        assert isinstance(x, FQ)
-        assert x.m == JUBJUB_Q
+        """Solve y^2 = (a*x^2 - 1)/(d*x^2 - 1)."""
+        assert isinstance(x, FQ) and x.m == JUBJUB_Q
         xsq = x * x
-        ysq = (JUBJUB_A * xsq - 1) * (JUBJUB_D * xsq - 1).inv()
-        return cls(x, ysq.sqrt())
+        return cls(x, ((_A * xsq - 1) / (_D * xsq - 1)).sqrt())
 
     @classmethod
     def from_hash(cls, entropy):
-        """HashToPoint: sha256 -> y candidate, increment until on-curve, then
-        clear the cofactor.  Guaranteed prime-order and non-identity.
-        Parity with reference ``Point.from_hash`` (point.cpp:55-88 native)."""
+        """Hash-to-point: y = sha256(entropy), increment until a curve
+        point exists, multiply by the cofactor, and insist the result is in
+        (and not the identity of) the prime-order subgroup.  Matches the
+        reference's native EdwardsPoint::from_hash (point.cpp:55-88)."""
         assert isinstance(entropy, bytes)
-        y = FQ(int.from_bytes(sha256(entropy).digest(), 'big'))
+        candidate = int.from_bytes(sha256(entropy).digest(), 'big')
         while True:
             try:
-                p = cls.from_y(y)
+                found = cls.from_y(FQ(candidate))
             except SquareRootError:
-                y += 1
+                candidate += 1
                 continue
-            p = p * JUBJUB_C
-            if (p * JUBJUB_L) != Point.infinity():
+            cleared = found * JUBJUB_C
+            if cleared * JUBJUB_L != Point.infinity():
                 raise RuntimeError("Point not on prime-ordered subgroup")
-            return p
+            return cleared
 
     @classmethod
     def random(cls):
         return cls.from_hash(urandom(32))
 
     def compress(self):
-        return int.to_bytes(self.y.n | ((self.x.n & 1) << 255), 32, 'little')
+        """32 LE bytes: y with the sign of x in the top bit."""
+        return ((self.x.n & 1) << 255 | self.y.n).to_bytes(32, 'little')
 
     @classmethod
-    def decompress(cls, point):
-        if len(point) != 32:
+    def decompress(cls, data):
+        if len(data) != 32:
             raise ValueError("Invalid input length for decompression")
-        y = int.from_bytes(point, 'little')
-        sign = y >> 255
-        y &= (1 << 255) - 1
-        return cls.from_y(FQ(y), sign)
+        word = int.from_bytes(data, 'little')
+        return cls.from_y(FQ(word & ~(1 << 255)), sign=word >> 255)
 
     def valid(self):
-        xsq = self.x * self.x
-        ysq = self.y * self.y
-        return (JUBJUB_A * xsq) + ysq == (1 + JUBJUB_D * xsq * ysq)
-
-    def add(self, other):
-        assert isinstance(other, Point)
-        if self.x == 0 and self.y == 0:
-            return other
-        (x1, y1), (x2, y2) = (self.x, self.y), (other.x, other.y)
-        dxy = JUBJUB_D * x1 * x2 * y1 * y2
-        x3 = (x1 * y2 + y1 * x2) / (FQ.one() + dxy)
-        y3 = (y1 * y2 - JUBJUB_A * x1 * x2) / (FQ.one() - dxy)
-        return Point(x3, y3)
+        xsq, ysq = self.x * self.x, self.y * self.y
+        return _A * xsq + ysq == 1 + _D * xsq * ysq
 
     def neg(self):
         return Point(-self.x, self.y)
+
+    def add(self, other):
+        """Unified affine addition (complete for this a/d)."""
+        assert isinstance(other, Point)
+        if self == Point(FQ(0), FQ(0)):      # legacy zero-encoded identity
+            return other
+        xx = self.x * other.x
+        yy = self.y * other.y
+        k = _D * xx * yy
+        return Point((self.x * other.y + self.y * other.x) / (1 + k),
+                     (yy - _A * xx) / (1 - k))
 
     def as_point(self):
         return self
@@ -219,8 +236,10 @@ class Point(AbstractCurveOps, namedtuple('_Point', ('x', 'y'))):
 
 
 class ProjPoint(AbstractCurveOps, namedtuple('_ProjPoint', ('x', 'y', 'z'))):
+    """Homogeneous projective coordinates (X : Y : Z)."""
+
     def __eq__(self, other):
-        return self.x == other.x and self.y == other.y and self.z == other.z
+        return (self.x, self.y, self.z) == (other.x, other.y, other.z)
 
     def __hash__(self):
         return hash((self.x, self.y, self.z))
@@ -230,7 +249,8 @@ class ProjPoint(AbstractCurveOps, namedtuple('_ProjPoint', ('x', 'y', 'z'))):
         return ProjPoint(FQ(0), FQ(1), FQ(1))
 
     def rescale(self):
-        return ProjPoint(self.x / self.z, self.y / self.z, FQ(1))
+        zi = self.z.inv()
+        return ProjPoint(self.x * zi, self.y * zi, FQ(1))
 
     def valid(self):
         return self.as_point().valid()
@@ -253,42 +273,38 @@ class ProjPoint(AbstractCurveOps, namedtuple('_ProjPoint', ('x', 'y', 'z'))):
         return self.as_point().as_mont()
 
     def add(self, other):
-        """Strongly-unified projective addition, add-2008-bbjlp."""
+        """add-2008-bbjlp (strongly unified)."""
         assert isinstance(other, ProjPoint)
         if self == self.infinity():
             return other
-        a = self.z * other.z
-        b = a * a
-        c = self.x * other.x
-        d = self.y * other.y
-        e = JUBJUB_D * c * d
-        f = b - e
-        g = b + e
-        x3 = a * f * ((self.x + self.y) * (other.x + other.y) - c - d)
-        y3 = a * g * (d - JUBJUB_A * c)
-        z3 = f * g
-        return ProjPoint(x3, y3, z3)
+        zz = self.z * other.z
+        zz2 = zz * zz
+        xx = self.x * other.x
+        yy = self.y * other.y
+        dxy = _D * xx * yy
+        cross = (self.x + self.y) * (other.x + other.y) - xx - yy
+        return ProjPoint(zz * (zz2 - dxy) * cross,
+                         zz * (zz2 + dxy) * (yy - _A * xx),
+                         (zz2 - dxy) * (zz2 + dxy))
 
     def double(self):
-        """dbl-2008-bbjlp: 3M + 4S + 1D."""
+        """dbl-2008-bbjlp (3M + 4S)."""
         if self == self.infinity():
             return self.infinity()
-        b = (self.x + self.y) * (self.x + self.y)
-        c = self.x * self.x
-        d = self.y * self.y
-        e = JUBJUB_A * c
-        f = e + d
-        h = self.z * self.z
-        j = f - 2 * h
-        x3 = (b - c - d) * j
-        y3 = f * (e - d)
-        z3 = f * j
-        return ProjPoint(x3, y3, z3)
+        s = (self.x + self.y) * (self.x + self.y)
+        xx = self.x * self.x
+        yy = self.y * self.y
+        axx = _A * xx
+        u = axx + yy
+        w = u - 2 * (self.z * self.z)
+        return ProjPoint((s - xx - yy) * w, u * (axx - yy), u * w)
 
 
 class MontPoint(AbstractCurveOps, namedtuple('_MontPoint', ('u', 'v'))):
+    """Montgomery form; used by the Pedersen-hash gadget's add chains."""
+
     def __eq__(self, other):
-        return self.u == other.u and self.v == other.v
+        return (self.u, self.v) == (other.u, other.v)
 
     def __hash__(self):
         return hash((self.u, self.v))
@@ -299,17 +315,19 @@ class MontPoint(AbstractCurveOps, namedtuple('_MontPoint', ('u', 'v'))):
 
     @classmethod
     def from_edwards(cls, e):
-        """(x, y) -> (u, v) = ((1+y)/(1-y), u/x); special cases map to
-        (0,1) [identity] and (0,0) [the order-2 point]."""
+        """Birational map (x, y) -> (u, v) = ((1+y)/(1-y), u/x).  The two
+        exceptional points go to their conventional images: identity ->
+        (0, 1), the order-2 point (0, -1) -> (0, 0)."""
         e = e.as_point()
-        if e.y == FQ.one():
-            return cls(FQ.zero(), FQ.one())
-        if e.x == FQ.zero():
-            return cls(FQ.zero(), FQ.zero())
-        u = (FQ.one() + e.y) / (FQ.one() - e.y)
+        if e.y == 1:
+            return cls(FQ(0), FQ(1))
+        if e.x == 0:
+            return cls(FQ(0), FQ(0))
+        u = (1 + e.y) / (1 - e.y)
         return cls(u, u / e.x)
 
     def as_point(self):
+        """Inverse map (u, v) -> (u/v, (u-1)/(u+1))."""
         return Point(self.u / self.v, (self.u - 1) / (self.u + 1))
 
     def as_etec(self):
@@ -322,44 +340,40 @@ class MontPoint(AbstractCurveOps, namedtuple('_MontPoint', ('u', 'v'))):
         return self
 
     def valid(self):
-        lhs = MONT_B * (self.v ** 2)
-        rhs = (self.u ** 3) + MONT_A * (self.u ** 2) + self.u
-        return lhs == rhs
+        u, v = self.u, self.v
+        return MONT_B * v * v == u * u * u + MONT_A * u * u + u
 
     def neg(self):
         return type(self)(self.u, -self.v)
 
     def double(self):
-        if self.v == FQ.zero():
+        if self.v == 0:
             return self.infinity()
-        usq = self.u * self.u
-        # slope of the tangent: (3u^2 + 2Au + 1) / 2v
-        delta = (1 + 2 * (MONT_A * self.u) + usq + usq * 2) / (2 * self.v)
-        u3 = delta * delta - MONT_A - 2 * self.u
-        v3 = -((u3 - self.u) * delta + self.v)
-        return type(self)(u3, v3)
+        u, v = self.u, self.v
+        slope = (3 * (u * u) + 2 * (MONT_A * u) + 1) / (2 * v)
+        u3 = slope * slope - MONT_A - u - u
+        return type(self)(u3, -(v + slope * (u3 - u)))
 
     def add(self, other):
         other = other.as_mont()
-        infinity = self.infinity()
-        if other == infinity:
+        if other == self.infinity():
             return self
-        if self == infinity:
+        if self == self.infinity():
             return other
         if self.u == other.u:
-            if self.v == other.v:
-                return self.double()
-            return infinity
-        delta = (other.v - self.v) / (other.u - self.u)
-        u3 = delta * delta - MONT_A - self.u - other.u
-        v3 = -((u3 - self.u) * delta + self.v)
-        return type(self)(u3, v3)
+            return self.double() if self.v == other.v else self.infinity()
+        slope = (other.v - self.v) / (other.u - self.u)
+        u3 = slope * slope - MONT_A - self.u - other.u
+        return type(self)(u3, -(self.v + slope * (u3 - self.u)))
 
 
-class EtecPoint(AbstractCurveOps, namedtuple('_EtecPoint', ('x', 'y', 't', 'z'))):
+class EtecPoint(AbstractCurveOps,
+                namedtuple('_EtecPoint', ('x', 'y', 't', 'z'))):
+    """Extended twisted Edwards coordinates (X : Y : T : Z), T = XY/Z."""
+
     def __eq__(self, other):
-        return (self.x == other.x and self.y == other.y
-                and self.t == other.t and self.z == other.z)
+        return (self.x, self.y, self.t, self.z) == \
+            (other.x, other.y, other.t, other.z)
 
     def __hash__(self):
         return hash((self.x, self.y, self.t, self.z))
@@ -391,86 +405,88 @@ class EtecPoint(AbstractCurveOps, namedtuple('_EtecPoint', ('x', 'y', 't', 'z'))
         """dbl-2008-hwcd."""
         if self == self.infinity():
             return self.infinity()
-        a = self.x * self.x
-        b = self.y * self.y
-        c = 2 * (self.z * self.z)
-        d = JUBJUB_A * a
-        e = (self.x + self.y) * (self.x + self.y) - a - b
-        g = d + b
-        f = g - c
-        h = d - b
+        xx = self.x * self.x
+        yy = self.y * self.y
+        zz2 = 2 * (self.z * self.z)
+        axx = _A * xx
+        e = (self.x + self.y) * (self.x + self.y) - xx - yy
+        g = axx + yy
+        f = g - zz2
+        h = axx - yy
         return EtecPoint(e * f, g * h, e * h, f * g)
 
     def add(self, other):
-        """HWCD'08 section 3.1 unified addition."""
+        """add-2008-hwcd (unified)."""
         assert isinstance(other, EtecPoint)
         if self == self.infinity():
             return other
-        assert self.z != 0
-        assert other.z != 0
-        x1x2 = self.x * other.x
-        y1y2 = self.y * other.y
-        dt1t2 = (JUBJUB_D * self.t) * other.t
-        z1z2 = self.z * other.z
-        e = ((self.x + self.y) * (other.x + other.y)) - x1x2 - y1y2
-        f = z1z2 - dt1t2
-        g = z1z2 + dt1t2
-        h = y1y2 - (JUBJUB_A * x1x2)
+        assert self.z != 0 and other.z != 0
+        xx = self.x * other.x
+        yy = self.y * other.y
+        tt = _D * self.t * other.t
+        zz = self.z * other.z
+        e = (self.x + self.y) * (other.x + other.y) - xx - yy
+        f = zz - tt
+        g = zz + tt
+        h = yy - _A * xx
         return EtecPoint(e * f, g * h, e * h, f * g)
 
 
+# ---------------- wNAF scalar-mult helpers ----------------
+
 def wNAF(k, width=2):
-    """Windowed non-adjacent form digits (MSB first)."""
+    """Width-w non-adjacent form, most-significant digit first: each
+    nonzero digit is odd with |digit| < 2^(w-1), separated by >= w-1
+    zeros."""
     k = int(k)
-    full, half = 2 ** width, 2 ** (width - 1)
-    output = []
+    modulus, half = 1 << width, 1 << (width - 1)
+    digits = []
     while k > 0:
         if k & 1:
-            c = k % full
-            k_i = c - full if c > half else c
-            k -= k_i
+            d = k % modulus
+            if d > half:
+                d -= modulus
+            k -= d
         else:
-            k_i = 0
-        output.append(k_i)
-        k //= 2
-    return output[::-1]
+            d = 0
+        digits.append(d)
+        k >>= 1
+    digits.reverse()
+    return digits
 
 
 def naf_window(point, nbits):
-    """Precompute odd multiples +-{1, 3, 5, ...} for width-nbits wNAF."""
-    a = (1 << nbits) // 2
-    res = {0: None}
-    for n in list(range(0, a))[1:]:
-        if n == 1:
-            p_n = point
-        elif n == 2:
-            p_n = point.double()
-        elif n > 2 and n % 2 == 0:
-            continue
-        else:
-            p_n = res[n - 2] + res[2]
-        res[n] = p_n
-        res[-n] = -p_n
-    return res
+    """Table of odd multiples {±1, ±3, ...} up to 2^(nbits-1), plus the
+    even helper 2P used to build them; index 0 maps to None (no-op)."""
+    table = {0: None, 1: point, -1: -point}
+    if nbits > 1:
+        table[2] = point.double()
+        table[-2] = -table[2]
+    for n in range(3, 1 << (nbits - 1), 2):
+        table[n] = table[n - 2] + table[2]
+        table[-n] = -table[n]
+    return table
 
 
 def mult_naf(point, scalar):
+    """Simple NAF (width 2) double-and-add."""
     acc = point.infinity()
-    for k_i in wNAF(scalar):
+    neg = point.neg()
+    for d in wNAF(scalar):
         acc = acc.double()
-        if k_i == 1:
+        if d == 1:
             acc = acc.add(point)
-        elif k_i == -1:
-            acc = acc.add(point.neg())
+        elif d == -1:
+            acc = acc.add(neg)
     return acc
 
 
 def mult_naf_lut(point, scalar, width=2):
+    """Windowed-NAF multiplication with a precomputed odd-multiple table."""
+    table = naf_window(point, width)
     acc = point.infinity()
-    w = naf_window(point, width)
-    for k_i in wNAF(scalar, width):
+    for d in wNAF(scalar, width):
         acc = acc.double()
-        p = w[k_i]
-        if p is not None:
-            acc = acc.add(p)
+        if table[d] is not None:
+            acc = acc.add(table[d])
     return acc
