@@ -6,8 +6,18 @@ all: native test
 
 test: python-test native-test
 
+# Default tier skips slow-marked (compile-heavy) tests via pytest.ini
+# addopts; the full suite's first cold run on a 2-core box is dominated by
+# XLA:CPU compiles of the big limb-arithmetic graphs (cached across runs
+# in .jax_cache_cpu).
 python-test:
 	$(PYTHON) -m pytest tests/ -x -q
+
+python-test-slow:
+	$(PYTHON) -m pytest tests/ -x -q -m "slow"
+
+python-test-all:
+	$(PYTHON) -m pytest tests/ -x -q -m ""
 
 native:
 	$(MAKE) -C native
@@ -34,4 +44,5 @@ clean:
 	$(MAKE) -C native clean
 	rm -rf .pytest_cache
 
-.PHONY: all test python-test native native-test bench bench-workloads artifacts clean
+.PHONY: all test python-test python-test-slow python-test-all native \
+	native-test bench bench-workloads artifacts clean

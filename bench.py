@@ -67,29 +67,18 @@ def main():
                    for cd in base_dev)
 
     rng = np.random.default_rng(12345)
-    # Random 253-bit scalars via numpy (exact, fast).
+    # Scalars uniform in [0, r): 256-bit draws reduced mod r (vectorized
+    # object math, ~9 passes), then the SAME decomposition the prover uses
+    # (window_digits_host_np) so the digit rows honor msm_red's contract
+    # (every row < 2^c, top row < 2^(254-(nw-1)*c)).  Round 2's ad-hoc
+    # extraction emitted out-of-contract top digits at c=11 and published
+    # a correct=False number - never hand-roll the decomposition here.
     words = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint64)
-    n_windows = (254 + c - 1) // c
-    digits = np.zeros((n_windows, n), dtype=np.uint32)
-    mask = (1 << c) - 1
-    # vectorized digit extraction from 32-bit words
-    for w in range(n_windows):
-        bit0 = w * c
-        word0 = bit0 // 32
-        off = bit0 % 32
-        lo = words[:, word0] >> off
-        hi = np.zeros_like(lo)
-        if word0 + 1 < 8 and off + c > 32:
-            hi = words[:, word0 + 1] << (32 - off)
-        digits[w] = ((lo | hi) & mask).astype(np.uint32)
-    # Fold top window to keep scalars < 2^253 (clip top digit)
-    top_bits = 253 - (n_windows - 1) * c
-    if top_bits > 0:
-        digits[-1] &= (1 << top_bits) - 1
-    # reconstruct scalars per lane (object math), then per-base-class sums
     scalars_obj = np.zeros(n, dtype=object)
-    for w in range(n_windows - 1, -1, -1):
-        scalars_obj = (scalars_obj << c) + digits[w].astype(object)
+    for k in range(8):
+        scalars_obj = (scalars_obj << 32) | words[:, k].astype(object)
+    scalars_obj %= CURVE_ORDER
+    digits = msm_ops.window_digits_host_np(scalars_obj, c)
     class_sums = [0] * n_base
     for j in range(n_base):
         class_sums[j] = int(scalars_obj[j::n_base].sum()) % CURVE_ORDER
@@ -104,6 +93,7 @@ def main():
     if mode == "auto":
         import subprocess
         budget = int(os.environ.get("BENCH_COMPILE_BUDGET", "300"))
+        fail_line = None
         for probe_mode in ("red", "fused"):
             env = dict(os.environ)
             env["BENCH_MSM_MODE"] = probe_mode
@@ -114,12 +104,23 @@ def main():
                 probe = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, timeout=budget, capture_output=True, text=True)
-                for line in probe.stdout.splitlines():
-                    if line.startswith('{"metric"'):
-                        print(line)
-                        return 0
             except subprocess.TimeoutExpired:
-                pass
+                continue
+            line = next((l for l in probe.stdout.splitlines()
+                         if l.startswith('{"metric"')), None)
+            # Publish a probe's number ONLY if the probe also exited 0
+            # (its own correctness check passed).  Round 2 published a
+            # correct=False run by ignoring the exit code here.
+            if line and probe.returncode == 0:
+                print(line)
+                return 0
+            if line:
+                fail_line = line
+        if fail_line is not None:
+            # every probe failed its correctness check: publish the failing
+            # number honestly and fail the bench
+            print(fail_line)
+            return 1
         mode = "chunked"
 
     from ethsnarks_tpu.ops import curve as curve_ops
@@ -187,12 +188,31 @@ def main():
     ok = (got == want)
 
     pps = n / dt
+
+    # Roofline accounting (model, not measurement): the dense pipeline's
+    # point-add lanes are ~2n per window for the halving tree (capacity
+    # k ~ 2*mean lanes per bucket slot) + ~2*2^c pairfold lanes per window
+    # + the 128-lane-ballast window Horner.  One complete G1 add on the red
+    # core costs ~47k int32 VPU ops/lane (12 rmul @ ~3.8k ops - 1221 lane
+    # muls + relaxes/folds - plus 2 mul_small + 15 lazy add/sub).  Peak
+    # int32 VPU throughput on v5e ~ 8x128 lanes x 4 ALUs x ~1.5 GHz
+    # ~ 6.1e12 ops/s (clock inferred from the published 197 bf16 TFLOP/s).
+    n_windows = (254 + c - 1) // c
+    g1_add_ops = 47000.0
+    point_add_lanes = (2 * n * n_windows + 2 * (1 << c) * n_windows
+                       + (c + 1) * n_windows * 128)
+    model_ops = point_add_lanes * g1_add_ops
+    vpu_peak = 6.1e12
+    vpu_util = model_ops / dt / vpu_peak
+
     out = {
         "metric": "msm_g1_points_per_sec_per_chip",
         "value": round(pps, 1),
         "unit": "points/s (2^%d points, c=%d, %s, %s, correct=%s)" % (
             log_n, c, used, jax.devices()[0].platform, ok),
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 4),
+        "model_int32_gops_per_s": round(model_ops / dt / 1e9, 1),
+        "vpu_util_pct": round(100 * vpu_util, 2),
     }
     print(json.dumps(out))
     return 0 if ok else 1

@@ -376,6 +376,38 @@ def _pairfold(consts, b3, dense, c, nw_pad, g2):
             .reshape(RL, nw_pad * 128) for a in _leaves(acc, g2)]
 
 
+def _pairfold_ref(consts, b3, dense, c, nw_pad, g2):
+    """Value-equivalent bucket reduction for the OFF-TPU reference path:
+    the classic Pippenger running-sum scan, W = sum_b suffix_sum(b), i.e.
+    scanning b = 2^c-1 .. 1 with acc_sum += S_b; W += acc_sum - two point
+    adds per bucket inside ONE lax.scan body.  The unrolled pairfold emits
+    ~c^2/2 full point-formula graphs (hundreds of thousands of MLIR ops at
+    prover widths), which XLA:CPU traces and compiles for tens of minutes;
+    the scan body is two adds.  Same output layout as _pairfold."""
+    width = 1 << c
+    resh = _cmapf(lambda a: a.reshape(RL, nw_pad, width), dense, g2)
+
+    zero = jnp.zeros((RL, nw_pad), jnp.int32)
+    onec = zero + jnp.asarray(_one_red_col())
+    ident = (((zero, zero), (onec, zero), (zero, zero)) if g2
+             else (zero, onec, zero))
+
+    def body(carry, b):
+        s, wacc = carry
+        sb = _cmapf(
+            lambda a: jax.lax.dynamic_slice(
+                a, (0, 0, b), (RL, nw_pad, 1)).reshape(RL, nw_pad),
+            resh, g2)
+        s = _padded_add(consts, b3, s, sb, g2)
+        wacc = _padded_add(consts, b3, wacc, s, g2)
+        return (s, wacc), None
+
+    bs = jnp.arange(width - 1, 0, -1, dtype=jnp.int32)
+    (_, wacc), _ = jax.lax.scan(body, (ident, ident), bs)
+    return [jnp.pad(a.reshape(RL, nw_pad, 1), ((0, 0), (0, 0), (0, 127)))
+            .reshape(RL, nw_pad * 128) for a in _leaves(wacc, g2)]
+
+
 @lru_cache(maxsize=None)
 def _k_horner_all_red(c, n_win):
     """Whole window-Horner in one kernel (red core): acc <- 2^c*acc + S_w,
@@ -530,7 +562,12 @@ def _k_horner_all_red_g2(c, n_win):
 # ---------------- jnp reference stages (CPU test path) ----------------
 
 def _horner_ref(consts, w128, c, n_win, g2=False, b3=None):
-    """jnp window Horner over (RL, n_win*128) planes -> (RL, 1) coords."""
+    """jnp window Horner over (RL, n_win*128) planes -> (RL, 1) coords.
+
+    Rolled as a lax.scan over windows (each step: c fori_loop doublings +
+    one add): a python unroll emits n_win*(c+1) point-formula graphs -
+    ~10^6 HLO ops at prover shapes - which XLA:CPU compiles for tens of
+    minutes.  The pallas TPU path uses the compact in-kernel Horner."""
     ops = mk_red_ops(consts)
     if g2:
         b3p = (b3[:, 0:1], b3[:, 1:2])
@@ -552,10 +589,14 @@ def _horner_ref(consts, w128, c, n_win, g2=False, b3=None):
     one = zero + jnp.asarray(_one_red_col())
     acc = (((zero, zero), (one, zero), (zero, zero)) if g2
            else (zero, one, zero))
-    for w in range(n_win - 1, -1, -1):
-        for _ in range(c):
-            acc = dblf(acc)
+
+    def step(acc, w):
+        acc = jax.lax.fori_loop(0, c, lambda _, p: dblf(p), acc)
         acc = addf(acc, cmap(pick, w128, w))
+        return acc, None
+
+    ws = jnp.arange(n_win - 1, -1, -1, dtype=jnp.int32)
+    acc, _ = jax.lax.scan(step, acc, ws)
     return acc
 
 
@@ -660,7 +701,10 @@ def _pipeline(consts, b3, rows, digits_grp, b, c, k, nw, g2):
             dense = _g1_add_red_dev(consts, lhs, rhs)
         per = half
 
-    folded = _pairfold(consts, b3, dense, c, nw_pad, g2)
+    if use_pallas():
+        folded = _pairfold(consts, b3, dense, c, nw_pad, g2)
+    else:
+        folded = _pairfold_ref(consts, b3, dense, c, nw_pad, g2)
     if use_pallas():
         if g2:
             h = _k_horner_all_red_g2(c, nw_pad)(consts, b3, *folded)
@@ -693,24 +737,37 @@ def _double_n_add(consts, b3, p_leaves, q_leaves, n_doubles, g2):
         return list(_k_double_n_add_red(n_doubles)(
             consts, *(p_leaves + q_leaves)))
     ops = mk_red_ops(consts)
+    # fori_loop, not a python unroll: n_doubles is c*tail_start (can be
+    # 200+), and an unrolled graph takes XLA:CPU tens of minutes to compile
     if g2:
         b3p = (b3[:, 0:1], b3[:, 1:2])
-        acc = _nest(p_leaves, True)
-        for _ in range(n_doubles):
-            acc = g2_double_red(ops, b3p, acc)
+        acc = jax.lax.fori_loop(
+            0, n_doubles, lambda _, p: g2_double_red(ops, b3p, p),
+            _nest(p_leaves, True))
         acc = g2_add_red(ops, b3p, acc, _nest(q_leaves, True))
         return _leaves(acc, True)
-    acc = _nest(p_leaves, False)
-    for _ in range(n_doubles):
-        acc = g1_double_red(ops, acc)
+    acc = jax.lax.fori_loop(
+        0, n_doubles, lambda _, p: g1_double_red(ops, p),
+        _nest(p_leaves, False))
     acc = g1_add_red(ops, acc, _nest(q_leaves, False))
     return _leaves(acc, False)
 
 
-@lru_cache(maxsize=None)
-def _jit_msm_dense_multi(b, c, g2, main_nw, n_groups, main_k,
-                         tail_start, tail_nw, tail_k, tail_c):
-    """The whole MSM in ONE jit / one device dispatch.
+def _ident_table_np(g2):
+    """(rows_used, 1) identity table column: x = 0, y = one_mont, z = 0."""
+    n_planes = 6 if g2 else 3
+    rows_used = n_planes * RL
+    ident_np = np.zeros((rows_used, 1), dtype=np.int32)
+    y0_row = 2 * RL if g2 else RL
+    ident_np[y0_row:y0_row + RL, 0] = _one_red_col()[:, 0]
+    return ident_np
+
+
+def _msm_dense_traced(points, digits_main, digits_tail, b, c, g2, main_nw,
+                      n_groups, main_k, tail_start, tail_nw, tail_k,
+                      tail_c):
+    """Traced whole-MSM body (shared by the single-chip jit wrapper and the
+    shard_map sharded driver).
 
     Windows [0, n_groups*main_nw) (zero-padded above the real top main
     window) run as a lax.scan over uniform groups of main_nw windows with
@@ -720,57 +777,64 @@ def _jit_msm_dense_multi(b, c, g2, main_nw, n_groups, main_k,
     width 2^tail_c (the top window of 254-bit scalars spans only
     254 - (n_win-1)*c bits; at the shared width its dense matrix would be
     2^c slots x a huge capacity, nearly all identity ballast).
-    digits_main: (n_groups*main_nw, b); digits_tail: (tail_nw, b)."""
+    digits_main: (n_groups*main_nw, b); digits_tail: (tail_nw, b).
+
+    Returns (nested (RL, 1) coords, overflow flag)."""
     n_planes = 6 if g2 else 3
     rows_used = n_planes * RL
     rows_pad = _pow2ceil(rows_used)
-    consts_np = _g1_consts_red()
-    b3_np = _g2_b3_red() if g2 else None
-    # identity table entry (row b): x = 0, y = one_mont, z = 0
-    ident_np = np.zeros((rows_used, 1), dtype=np.int32)
-    y0_row = 2 * RL if g2 else RL
-    ident_np[y0_row:y0_row + RL, 0] = _one_red_col()[:, 0]
+    consts = jnp.asarray(_g1_consts_red())
+    b3 = jnp.asarray(_g2_b3_red()) if g2 else None
+    leaves = _leaves(points, g2)
+    rows = jnp.concatenate(leaves, axis=0)                 # (used, b)
+    rows = jnp.concatenate([rows, jnp.asarray(_ident_table_np(g2))],
+                           axis=1)
+    rows = jnp.pad(rows, ((0, rows_pad - rows_used), (0, 0))).T
+
+    ovf = jnp.bool_(False)
+    res_m = None
+    if n_groups == 1:
+        res_m, o = _pipeline(consts, b3, rows, digits_main,
+                             b, c, main_k, main_nw, g2)
+        ovf |= o
+    elif n_groups > 1:
+        dg = digits_main.reshape(n_groups, main_nw, b)
+
+        def step(carry, d):
+            r, o = _pipeline(consts, b3, rows, d,
+                             b, c, main_k, main_nw, g2)
+            return carry, (r, o)
+
+        _, (rs, ovfs) = jax.lax.scan(step, jnp.int32(0), dg)
+        res_m = _group_horner(consts, b3, rs, c * main_nw,
+                              n_groups, g2)
+        ovf |= jnp.any(ovfs)
+    if tail_nw:
+        res_t, o = _pipeline(consts, b3, rows, digits_tail,
+                             b, tail_c, tail_k, tail_nw, g2)
+        ovf |= o
+        if res_m is None:
+            res = res_t
+        else:
+            res = _double_n_add(consts, b3, res_t, res_m,
+                                c * tail_start, g2)
+    else:
+        res = res_m
+    out = _nest([a[:, :1] for a in res], g2)
+    return out, ovf
+
+
+@lru_cache(maxsize=None)
+def _jit_msm_dense_multi(b, c, g2, main_nw, n_groups, main_k,
+                         tail_start, tail_nw, tail_k, tail_c):
+    """The whole MSM in ONE jit / one device dispatch (see
+    :func:`_msm_dense_traced` for the pipeline layout)."""
 
     @jax.jit
     def run(points, digits_main, digits_tail):
-        consts = jnp.asarray(consts_np)
-        b3 = jnp.asarray(b3_np) if g2 else None
-        leaves = _leaves(points, g2)
-        rows = jnp.concatenate(leaves, axis=0)                 # (used, b)
-        rows = jnp.concatenate([rows, jnp.asarray(ident_np)], axis=1)
-        rows = jnp.pad(rows, ((0, rows_pad - rows_used), (0, 0))).T
-
-        ovf = jnp.bool_(False)
-        res_m = None
-        if n_groups == 1:
-            res_m, o = _pipeline(consts, b3, rows, digits_main,
-                                 b, c, main_k, main_nw, g2)
-            ovf |= o
-        elif n_groups > 1:
-            dg = digits_main.reshape(n_groups, main_nw, b)
-
-            def step(carry, d):
-                r, o = _pipeline(consts, b3, rows, d,
-                                 b, c, main_k, main_nw, g2)
-                return carry, (r, o)
-
-            _, (rs, ovfs) = jax.lax.scan(step, jnp.int32(0), dg)
-            res_m = _group_horner(consts, b3, rs, c * main_nw,
-                                  n_groups, g2)
-            ovf |= jnp.any(ovfs)
-        if tail_nw:
-            res_t, o = _pipeline(consts, b3, rows, digits_tail,
-                                 b, tail_c, tail_k, tail_nw, g2)
-            ovf |= o
-            if res_m is None:
-                res = res_t
-            else:
-                res = _double_n_add(consts, b3, res_t, res_m,
-                                    c * tail_start, g2)
-        else:
-            res = res_m
-        out = _nest([a[:, :1] for a in res], g2)
-        return out, ovf
+        return _msm_dense_traced(points, digits_main, digits_tail, b, c,
+                                 g2, main_nw, n_groups, main_k, tail_start,
+                                 tail_nw, tail_k, tail_c)
 
     return run
 
@@ -787,6 +851,25 @@ def best_c(n):
     pair per window) keeps working."""
     import math
     return min(13, max(7, int(math.log2(max(2, n))) - 5))
+
+
+def _est_k(mean):
+    """Static pow2 capacity estimate for uniform occupancy `mean`."""
+    import math
+    mean = max(1, int(mean))
+    return _pow2ceil(mean + 4 * int(math.isqrt(mean)) + 8)
+
+
+def _should_merge_top(b, c, top_bits):
+    """Merge the narrow (< 7-bit) top window into the window below it IFF
+    the merged tail (2^(c+top_bits) buckets at normal occupancy) is cheaper
+    than the unmerged tail (2^max(7,top_bits) buckets at b/2^top_bits
+    occupancy).  Merging wins at large b (a 2^16/c=11 run allocated a ~4GB
+    gather unmerged); at small b the pow2 capacity floor inverts the
+    tradeoff and the skewed-but-small top window is cheaper left alone."""
+    merged_cost = (1 << (c + top_bits)) * _est_k(b >> (c + top_bits))
+    unmerged_cost = (1 << max(7, top_bits)) * _est_k(b >> top_bits)
+    return merged_cost < unmerged_cost
 
 
 def _static_plan_ks(b, c, n_windows, tail_bits):
@@ -810,14 +893,19 @@ def _static_plan_ks(b, c, n_windows, tail_bits):
 
 
 def _plan(ks, c, max_lanes, force_tail=False):
-    """(main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m)."""
+    """(main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m).
+
+    force_tail is MANDATORY whenever the top window's digits can exceed
+    2^c (merged tail): scheduling such a window into the main scan would
+    spill its composite keys into the next window's bucket range and
+    silently corrupt the result."""
     n_windows = len(ks)
     if n_windows > 1:
         main_k = max(ks[:-1])
         tail = force_tail or ks[-1] > main_k
     else:
         main_k = ks[0]
-        tail = False
+        tail = force_tail
     if tail:
         tail_nw, tail_k, tail_start = 1, ks[-1], n_windows - 1
     else:
@@ -830,6 +918,53 @@ def _plan(ks, c, max_lanes, force_tail=False):
     main_nw = min(1 << (budget_nw.bit_length() - 1), _pow2ceil(m))
     n_groups = -(-m // main_nw)
     return main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m
+
+
+def static_msm_plan(b, c, max_lanes=1 << 23, ks=None):
+    """Distribution-free full plan for a b-point MSM over full 254-bit
+    digit stacks (ceil(254/c) windows): the shape contract shared by the
+    single-chip static path and the sharded driver.
+
+    Returns a dict: n_windows_full (pre-merge digit rows expected), merged,
+    tail_bits, ks, tc, and the _plan tuple fields."""
+    nw_full = (254 + c - 1) // c
+    top_bits = max(1, 254 - (nw_full - 1) * c)
+    merged = (nw_full >= 2 and top_bits < 7
+              and _should_merge_top(b, c, top_bits))
+    n_windows = nw_full - 1 if merged else nw_full
+    tail_bits = (c + top_bits if merged
+                 else (top_bits if nw_full > 1 else c))
+    if ks is None:
+        ks = _static_plan_ks(b, c, n_windows, tail_bits)
+    main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m = \
+        _plan(ks, c, max_lanes, force_tail=merged)
+    cap = tail_bits if merged else min(tail_bits, c)
+    tc = max(7, cap) if tail_nw else 7
+    return dict(n_windows_full=nw_full, n_windows=n_windows, merged=merged,
+                tail_bits=tail_bits, ks=ks, main_nw=main_nw,
+                n_groups=n_groups, main_k=main_k, tail_start=tail_start,
+                tail_nw=tail_nw, tail_k=tail_k, m=m, tc=tc)
+
+
+def merge_top_window_np(digits, c, plan):
+    """Apply the plan's top-window merge to a host (nw_full, b) digit array
+    and split into (digits_main zero-padded to n_groups*main_nw rows,
+    digits_tail)."""
+    assert digits.shape[0] == plan['n_windows_full'], \
+        (digits.shape, plan['n_windows_full'])
+    b = digits.shape[1]
+    if plan['merged']:
+        row = digits[-2] + (digits[-1].astype(np.uint32) << c)
+        digits = np.concatenate([digits[:-2], row[None]], axis=0)
+    m = plan['m']
+    dm = digits[:m]
+    pad_rows = plan['n_groups'] * plan['main_nw'] - m
+    if pad_rows:
+        dm = np.concatenate(
+            [dm, np.zeros((pad_rows, b), dtype=digits.dtype)])
+    dt = (digits[m:] if plan['tail_nw']
+          else np.zeros((1, b), digits.dtype))
+    return dm, dt
 
 
 @lru_cache(maxsize=None)
@@ -884,13 +1019,40 @@ def _ones_sum_red(points, idx, g2):
         _cmapf(lambda a: a[:, :1], res, g2))[0]
 
 
+def _validate_digit_contract(digits_np, c):
+    """Raise on digits violating the decomposition contract instead of
+    silently corrupting the MSM: every window must hold < 2^c, and the top
+    window additionally < 2^(254 - (n_windows-1)*c) so the implied scalar
+    stays below 2^254 (the merged-tail planner's bucket-width bound).
+    Cheap vectorized numpy pass; only run on host-visible digits."""
+    n_windows = digits_np.shape[0]
+    row_max = digits_np.max(axis=1).astype(np.uint64)
+    limit = np.uint64(1 << c)
+    bad = np.nonzero(row_max[:-1] >= limit)[0]
+    if bad.size:
+        raise ValueError(
+            "MSM digit contract violation: window %d max digit %d >= 2^%d"
+            % (int(bad[0]), int(row_max[bad[0]]), c))
+    top_allow = min(c, max(1, 254 - (n_windows - 1) * c))
+    if int(row_max[-1]) >> top_allow:
+        raise ValueError(
+            "MSM digit contract violation: top window max digit %d spans "
+            "more than %d bits (implied scalar >= 2^254); decompose "
+            "scalars < r with window_digits_host_np/from_limbs_np"
+            % (int(row_max[-1]), top_allow))
+
+
 def _dense_red_driver(points, digits, c, g2, max_lanes,
-                      static_plan=False, ks=None):
+                      static_plan=False, ks=None, tail_bits=None,
+                      merged=None):
     n_windows, b = digits.shape
     host_planned = not static_plan
+    already_merged = merged is not None
     ones_part = None
     if host_planned and ks is None:
         digits = np.asarray(digits)
+        if not already_merged:
+            _validate_digit_contract(digits, c)
         # scalar==1 columns (bit-decomposition circuits) pile onto bucket 1
         # of window 0 and would dominate its dense capacity: route them
         # through a plain device point-sum instead (the reference's
@@ -910,15 +1072,24 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
     # padded slots x a b/2^top_bits capacity (a 2^16/c=11 run allocated a
     # ~4GB gather for a 1-bit top window before this).
     xp = np if isinstance(digits, np.ndarray) else jnp
-    top_bits = max(1, 254 - (n_windows - 1) * c)
-    merged = n_windows >= 2 and top_bits < 7
-    if merged:
-        row = digits[-2] + (digits[-1].astype(xp.uint32) << c)
-        digits = xp.concatenate([digits[:-2], row[None]], axis=0)
-        n_windows -= 1
-        tail_bits = c + top_bits
+    if already_merged:
+        # Replan recursion: digits arrive with the top-window merge already
+        # applied; `merged` and tail_bits carry the prior state.  A merged
+        # row's tail MUST stay forced: it exceeds the 2^c main bucket
+        # width, and scheduling it into the main scan spills its composite
+        # keys into the next window's bucket range - silent corruption.
+        pass
     else:
-        tail_bits = top_bits if n_windows > 1 else c
+        top_bits = max(1, 254 - (n_windows - 1) * c)
+        merged = (n_windows >= 2 and top_bits < 7
+                  and _should_merge_top(b, c, top_bits))
+        if merged:
+            row = digits[-2] + (digits[-1].astype(xp.uint32) << c)
+            digits = xp.concatenate([digits[:-2], row[None]], axis=0)
+            n_windows -= 1
+            tail_bits = c + top_bits
+        else:
+            tail_bits = top_bits if n_windows > 1 else c
 
     if ks is None:
         if host_planned:
@@ -927,39 +1098,47 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
             ks = _static_plan_ks(b, c, n_windows, tail_bits)
     main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m = \
         _plan(ks, c, max_lanes, force_tail=merged)
+    dt = digits[m:] if tail_nw else xp.zeros((1, b), digits.dtype)
+    if tail_nw:
+        # Tail bucket width: a merged row spans exactly tail_bits = c +
+        # top_bits; a non-merged top window holds digits < 2^min(tail_bits,
+        # c) by contract (tail_bits may be huge for shallow digit stacks -
+        # scalars far below 2^254 - where it only means "unconstrained").
+        cap = tail_bits if merged else min(tail_bits, c)
+        if host_planned:
+            bits = int(np.asarray(dt).max()).bit_length()
+            tc = max(7, min(cap, bits))
+        else:
+            tc = max(7, cap)
+    else:
+        tc = 7
     if (1 << c) * main_k > (1 << 26) or \
-            (tail_nw and (1 << min(tail_bits, 13)) * tail_k > (1 << 26)):
+            (tail_nw and (1 << tc) * tail_k > (1 << 26)):
         raise ValueError(
-            "dense MSM capacity explosion (k=%d/%d at c=%d): extremely "
-            "repetitive scalar distribution - reduce c or extend the "
-            "mixed-addition filtering in _dense_red_driver" %
-            (main_k, tail_k, c))
+            "dense MSM capacity explosion (k=%d/%d at c=%d/tc=%d): "
+            "extremely repetitive scalar distribution - reduce c or extend "
+            "the mixed-addition filtering in _dense_red_driver" %
+            (main_k, tail_k, c, tc))
     pad_rows = n_groups * main_nw - m
     dm = digits[:m]
     if pad_rows:
         dm = xp.concatenate(
             [dm, xp.zeros((pad_rows, b), dtype=digits.dtype)])
-    dt = digits[m:] if tail_nw else xp.zeros((1, b), digits.dtype)
-    if tail_nw:
-        if host_planned:
-            bits = int(np.asarray(dt).max()).bit_length()
-            tc = max(7, min(tail_bits, bits))
-        else:
-            tc = max(7, tail_bits)
-    else:
-        tc = 7
     run = _jit_msm_dense_multi(b, c, g2, main_nw, n_groups,
                                main_k, tail_start, tail_nw, tail_k, tc)
     res, ovf = run(points, jnp.asarray(dm), jnp.asarray(dt))
     if bool(ovf):
         # static plan undershot (or stale cached capacities): replan from
-        # the actual (possibly merged) digits
+        # the actual digits.  The merge has already been applied to them,
+        # so the recursion carries tail_bits through (it both skips the
+        # re-merge and keeps the tail forced for merged rows).
         digits_np = np.asarray(digits)
         exact = _window_ks(b, c, digits_np)
         if exact == list(ks):
             raise AssertionError("dense MSM capacity overflow (plan bug)")
-        out = _dense_red_driver(points, digits_np, c, g2,
-                                max_lanes, ks=exact)
+        out = _dense_red_driver(points, digits_np, c, g2, max_lanes,
+                                ks=exact, tail_bits=tail_bits,
+                                merged=merged)
     else:
         from_dev = g2_from_red if g2 else g1_from_red
         out = from_dev(res)[0]
