@@ -101,3 +101,62 @@ def pairing_product_is_one(pairs):
         assert is_on_curve(q, B2), "Q not on twist"
         acc = acc * miller_loop(twist(q), cast_g1_to_fq12(p))
     return final_exponentiate(acc) == Fq12.one()
+
+
+# ---------------- precomputed-G2 Miller loop (processed VK) ----------------
+
+def _line_coeffs(p1, p2):
+    """Coefficients of the line through p1, p2 (tangent when equal) on
+    E(Fq12), as (kind, m, x1, y1): the online evaluation at t is
+    m*(xt - x1) - (yt - y1), or xt - x1 for a vertical line."""
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 != x2:
+        return ('l', (y2 - y1) / (x2 - x1), x1, y1)
+    if y1 == y2:
+        return ('l', (3 * (x1 * x1)) / (2 * y1), x1, y1)
+    return ('v', None, x1, y1)
+
+
+class G2Precomp:
+    """Precomputed Miller-loop line coefficients for a FIXED G2 point
+    (role of libff's G2_precomp / the reference's processed VK,
+    /root/reference/src/r1cs_gg_ppzksnark_zok/r1cs_gg_ppzksnark_zok.tcc:552-567):
+    the point-arithmetic half of the Miller loop (doubling/adding R,
+    computing slopes - all the Fq12 inversions) runs ONCE at process-vk
+    time; per-proof work is only the line evaluations and f updates."""
+
+    def __init__(self, q):
+        assert is_on_curve(q, B2), "Q not on twist"
+        self.q = q
+        qt = twist(q)
+        steps = []   # ('dbl'|'add', kind, m, x1, y1)
+        r = qt
+        for i in range(ATE_LOOP_COUNT.bit_length() - 2, -1, -1):
+            steps.append(('dbl',) + _line_coeffs(r, r))
+            r = double(r)
+            if ATE_LOOP_COUNT & (1 << i):
+                steps.append(('add',) + _line_coeffs(r, qt))
+                r = add(r, qt)
+        q1 = (qt[0] ** FIELD_MODULUS, qt[1] ** FIELD_MODULUS)
+        nq2 = (q1[0] ** FIELD_MODULUS, -(q1[1] ** FIELD_MODULUS))
+        steps.append(('add',) + _line_coeffs(r, q1))
+        r = add(r, q1)
+        steps.append(('add',) + _line_coeffs(r, nq2))
+        self.steps = steps
+
+
+def miller_loop_precomp(precomp, p):
+    """Miller loop against precomputed line coefficients; p is a G1 point
+    (host affine).  Bit-identical to miller_loop(twist(q), cast(p))."""
+    if is_inf(p):
+        return Fq12.one()
+    xt, yt = cast_g1_to_fq12(p)
+    f = Fq12.one()
+    for op, kind, m, x1, y1 in precomp.steps:
+        if kind == 'l':
+            val = m * (xt - x1) - (yt - y1)
+        else:
+            val = xt - x1
+        f = f * f * val if op == 'dbl' else f * val
+    return f

@@ -102,21 +102,28 @@ class CircuitReader(object):
 
     # ---------------- evaluation (witness) ----------------
 
-    def set_inputs(self, inputs_text):
-        """'wire=value' per line (decimal or 0x-hex)."""
+    def set_inputs(self, inputs_text, base=16):
+        """'wire=value' per line.  Values are HEX by default - the
+        reference's input files are parsed with readFieldElementFromHex
+        (/root/reference/src/pinocchio/circuit_reader.cpp:73-76, base 16);
+        pass base=0 for python auto-base (0x/0b/decimal)."""
         for raw in inputs_text.splitlines():
             line = raw.split('#')[0].strip()
             if not line:
                 continue
             wire, value = line.split('=')
-            self.wire_values[int(wire)] = int(value.strip(), 0) % P
+            self.wire_values[int(wire)] = int(value.strip(), base) % P
 
     def eval(self, trace=False):
-        """Evaluate all instructions; returns {output_wire: value}."""
+        """Evaluate all instructions; returns {output_wire: value}.
+
+        Input/nizk wires without an assignment default to ZERO - reference
+        parity: unassigned protoboard variables read as 0 (the golden
+        table1.input never sets its declared input wire)."""
         v = self.wire_values
         for wire in self.input_wires + self.nizk_wires:
             if wire not in v:
-                raise ValueError("missing value for input wire %d" % wire)
+                v[wire] = 0
         for inst in self.instructions:
             ins = [v[w] for w in inst.in_wires]
             op = inst.opcode

@@ -185,11 +185,169 @@ def pk_from_bellman_dict(d, num_inputs=None):
 
 
 def pk_bellman2ethsnarks(bellman_pk_file, pk_file, num_inputs=None):
-    """File-level converter (parity: export.cpp:267-328)."""
-    import pickle
+    """File-level converter (parity: export.cpp:267-328).  Output is the
+    binary Montgomery-form key stream (write_pk_binary)."""
     with open(bellman_pk_file) as fh:
         d = json.load(fh)
     pk = pk_from_bellman_dict(d, num_inputs)
-    with open(pk_file, 'wb') as fh:
-        pickle.dump(pk, fh)
+    write_pk_binary(pk, pk_file)
     return True
+
+
+# ---------------- binary Montgomery-form key I/O ----------------
+#
+# Role of the reference's BINARY_OUTPUT + MONTGOMERY_OUTPUT key streams
+# (/root/reference/src/utils.hpp:166-185 writeToFile/loadFromFile;
+# r1cs_gg_ppzksnark_zok.tcc:108-143 operator<</>>; CMakeLists.txt:115-127):
+# field elements are stored as their Montgomery residue x*R mod p
+# (R = 2^256, libff's word layout) in 8 little-endian uint32 words, points
+# as affine coordinate blocks with a separate infinity bitmap - a flat
+# numpy dump that loads 2^20-scale keys in milliseconds, vs pickling a
+# python object graph.
+
+_PK_MAGIC = b"ETSNARKS-TPU-PK\x01"
+_MONT_R = 1 << 256
+
+
+def _mont_words_g1(points):
+    """[(Fq, Fq) | None] -> ((n, 16) uint32 Montgomery words, (n,) uint8
+    infinity flags)."""
+    from .bn254 import FIELD_MODULUS
+    import numpy as np
+    n = len(points)
+    out = np.zeros((n, 16), dtype=np.uint32)
+    inf = np.zeros(n, dtype=np.uint8)
+    for j, p in enumerate(points):
+        if p is None:
+            inf[j] = 1
+            continue
+        for k, c in enumerate((p[0].n, p[1].n)):
+            m = (int(c) * _MONT_R) % FIELD_MODULUS
+            for w in range(8):
+                out[j, 8 * k + w] = (m >> (32 * w)) & 0xFFFFFFFF
+    return out, inf
+
+
+def _mont_words_g2(points):
+    from .bn254 import FIELD_MODULUS
+    import numpy as np
+    n = len(points)
+    out = np.zeros((n, 32), dtype=np.uint32)
+    inf = np.zeros(n, dtype=np.uint8)
+    for j, p in enumerate(points):
+        if p is None:
+            inf[j] = 1
+            continue
+        coords = (p[0].coeffs[0], p[0].coeffs[1],
+                  p[1].coeffs[0], p[1].coeffs[1])
+        for k, c in enumerate(coords):
+            m = (int(c) * _MONT_R) % FIELD_MODULUS
+            for w in range(8):
+                out[j, 8 * k + w] = (m >> (32 * w)) & 0xFFFFFFFF
+    return out, inf
+
+
+def _unmont_ints(words):
+    """(n, k*8) uint32 Montgomery words -> (n, k) python-int array."""
+    from .bn254 import FIELD_MODULUS
+    import numpy as np
+    rinv = pow(_MONT_R, -1, FIELD_MODULUS)
+    n, tot = words.shape
+    k = tot // 8
+    vals = np.zeros((n, k), dtype=object)
+    acc = words.astype(object)
+    for c in range(k):
+        # fold the 8 little-endian words, then undo the Montgomery factor
+        cur = np.zeros(n, dtype=object)
+        for w in range(7, -1, -1):
+            cur = (cur << 32) | acc[:, 8 * c + w]
+        vals[:, c] = (cur * rinv) % FIELD_MODULUS
+    return vals
+
+
+def _g1_from_ints(vals, inf):
+    from .bn254 import Fq
+    return [None if inf[j] else (Fq(int(vals[j, 0])), Fq(int(vals[j, 1])))
+            for j in range(vals.shape[0])]
+
+
+def _g2_from_ints(vals, inf):
+    from .bn254 import Fq2
+    return [None if inf[j] else
+            (Fq2([int(vals[j, 0]), int(vals[j, 1])]),
+             Fq2([int(vals[j, 2]), int(vals[j, 3])]))
+            for j in range(vals.shape[0])]
+
+
+def write_pk_binary(pk, path):
+    """nozk ProvingKey -> binary Montgomery-form stream."""
+    import numpy as np
+    a_idx = np.array([i for i, _ in pk.a_query], dtype=np.uint32)
+    b_idx = np.array([i for i, _ in pk.b_query], dtype=np.uint32)
+    a_w, a_inf = _mont_words_g1([p for _, p in pk.a_query])
+    b_w, b_inf = _mont_words_g2([p for _, p in pk.b_query])
+    h_w, h_inf = _mont_words_g1(pk.h_query_bitrev)
+    l_w, l_inf = _mont_words_g1(pk.l_query)
+    hdr_w, hdr_inf = _mont_words_g1([pk.alpha_g1])
+    bet_w, bet_inf = _mont_words_g2([pk.beta_g2, pk.delta_g2])
+    header = json.dumps({
+        "v": 1, "num_inputs": pk.num_inputs,
+        "n_a": len(a_idx), "n_b": len(b_idx),
+        "n_h": len(pk.h_query_bitrev), "n_l": len(pk.l_query),
+    }).encode("ascii")
+    with open(path, "wb") as fh:
+        fh.write(_PK_MAGIC)
+        fh.write(len(header).to_bytes(4, "little"))
+        fh.write(header)
+        for arr in (hdr_w, bet_w, a_idx, a_w, a_inf, b_idx, b_w, b_inf,
+                    h_w, h_inf, l_w, l_inf):
+            fh.write(np.ascontiguousarray(arr).tobytes())
+    return True
+
+
+def read_pk_binary(path):
+    """Binary Montgomery-form stream -> nozk ProvingKey."""
+    import numpy as np
+    from .groth16 import ProvingKey
+    with open(path, "rb") as fh:
+        magic = fh.read(len(_PK_MAGIC))
+        if magic != _PK_MAGIC:
+            raise ValueError("not a binary ethsnarks-tpu proving key")
+        hlen = int.from_bytes(fh.read(4), "little")
+        hdr = json.loads(fh.read(hlen).decode("ascii"))
+        buf = fh.read()
+    n_a, n_b = hdr["n_a"], hdr["n_b"]
+    n_h, n_l = hdr["n_h"], hdr["n_l"]
+    off = 0
+
+    def take(dtype, shape):
+        nonlocal off
+        arr = np.frombuffer(buf, dtype=dtype, offset=off,
+                            count=int(np.prod(shape))).reshape(shape)
+        off += arr.nbytes
+        return arr
+
+    hdr_w = take(np.uint32, (1, 16))
+    bet_w = take(np.uint32, (2, 32))
+    a_idx = take(np.uint32, (n_a,))
+    a_w = take(np.uint32, (n_a, 16))
+    a_inf = take(np.uint8, (n_a,))
+    b_idx = take(np.uint32, (n_b,))
+    b_w = take(np.uint32, (n_b, 32))
+    b_inf = take(np.uint8, (n_b,))
+    h_w = take(np.uint32, (n_h, 16))
+    h_inf = take(np.uint8, (n_h,))
+    l_w = take(np.uint32, (n_l, 16))
+    l_inf = take(np.uint8, (n_l,))
+
+    alpha = _g1_from_ints(_unmont_ints(hdr_w), [0])[0]
+    beta, delta = _g2_from_ints(_unmont_ints(bet_w), [0, 0])
+    a_pts = _g1_from_ints(_unmont_ints(a_w), a_inf)
+    b_pts = _g2_from_ints(_unmont_ints(b_w), b_inf)
+    return ProvingKey(
+        alpha_g1=alpha, beta_g2=beta, delta_g2=delta,
+        a_query=list(zip((int(i) for i in a_idx), a_pts)),
+        b_query=list(zip((int(i) for i in b_idx), b_pts)),
+        h_query_bitrev=_g1_from_ints(_unmont_ints(h_w), h_inf),
+        l_query=_g1_from_ints(_unmont_ints(l_w), l_inf),
+        num_inputs=hdr["num_inputs"])

@@ -2,9 +2,10 @@
 
 stub_genkeys_from_pb / stub_genkeys<Gadget> / prove(context, pb) ->
 proof JSON / stub_verify(vk_json, proof_json) / stub_main_verify /
-stub_test_proof_verify - same API surface, with pickle standing in for the
-reference's binary proving-key serialization (the pk *is* the checkpoint,
-SURVEY.md §5.4).
+stub_test_proof_verify - same API surface.  Proving keys are stored in the
+binary Montgomery-form stream (serialization.write_pk_binary, role of the
+reference's BINARY_OUTPUT/MONTGOMERY_OUTPUT key files - the pk *is* the
+checkpoint, SURVEY.md §5.4); legacy pickle files still load.
 """
 
 import json
@@ -12,14 +13,14 @@ import pickle
 
 from .groth16 import generator, ProverContext
 from .verifier import VerifyingKey, Proof
-from .serialization import vk2json_file
+from .serialization import (
+    vk2json_file, write_pk_binary, read_pk_binary, _PK_MAGIC)
 
 
 def stub_genkeys_from_pb(pb, pk_file, vk_file, rng=None):
     keypair = generator(pb, rng=rng)
     vk2json_file(keypair.vk, vk_file)
-    with open(pk_file, 'wb') as fh:
-        pickle.dump(keypair.pk, fh)
+    write_pk_binary(keypair.pk, pk_file)
     return keypair
 
 
@@ -34,6 +35,11 @@ def stub_genkeys(gadget_cls, pk_file, vk_file, *gadget_args, rng=None):
 
 
 def load_proving_key(pk_file):
+    """Sniff the binary Montgomery magic; fall back to legacy pickle."""
+    with open(pk_file, 'rb') as fh:
+        head = fh.read(len(_PK_MAGIC))
+    if head == _PK_MAGIC:
+        return read_pk_binary(pk_file)
     with open(pk_file, 'rb') as fh:
         return pickle.load(fh)
 

@@ -120,10 +120,18 @@ class VerifyingKey(_VerifyingKeyStruct):
             gammaABC=[_load_g1_point(p) for p in d['gammaABC']])
 
     def verify(self, proof):
-        """Groth16 strong-input-consistency verification."""
+        """Groth16 strong-input-consistency verification (parity:
+        r1cs_gg_ppzksnark_zok_verifier_strong_IC, reference tcc:660-670)."""
         if not isinstance(proof, Proof):
             raise TypeError("Invalid proof type")
         if len(proof.input) + 1 != len(self.gammaABC):
+            return False
+        return self.verify_weak_IC(proof)
+
+    def verify_weak_IC(self, proof):
+        """Weak input consistency: accepts |input|+1 <= |gammaABC| (extra
+        accumulation entries stay unused; parity tcc:626-658)."""
+        if len(proof.input) + 1 > len(self.gammaABC):
             return False
         vk_x = self.gammaABC[0]
         for i, x in enumerate(proof.input):
@@ -133,6 +141,70 @@ class VerifyingKey(_VerifyingKeyStruct):
             (neg(vk_x), self.gamma),
             (neg(proof.C), self.delta),
             (neg(self.alpha), self.beta)])
+
+    def process(self):
+        """Precompute the fixed-G2 pairing state (parity:
+        verifier_process_vk, tcc:552-567)."""
+        return ProcessedVerifyingKey(self)
+
+
+class ProcessedVerifyingKey(object):
+    """Processed VK: e(alpha, beta) evaluated once and Miller-loop line
+    coefficients precomputed for gamma and delta, so the per-proof online
+    check costs 3 coefficient-driven Miller loops + one final
+    exponentiation (parity: r1cs_gg_ppzksnark_zok_processed_verification_key
+    hpp:386-398 + online_verifier_weak_IC tcc:569-624)."""
+
+    def __init__(self, vk):
+        from .pairing import (
+            G2Precomp, miller_loop, twist, cast_g1_to_fq12,
+            final_exponentiate)
+        self.gammaABC = list(vk.gammaABC)
+        self.alpha_beta = final_exponentiate(miller_loop(
+            twist(vk.beta), cast_g1_to_fq12(vk.alpha)))
+        self.gamma_precomp = G2Precomp(vk.gamma)
+        self.delta_precomp = G2Precomp(vk.delta)
+
+    def _accumulate(self, inputs):
+        vk_x = self.gammaABC[0]
+        for i, x in enumerate(inputs):
+            vk_x = add(vk_x, multiply(self.gammaABC[i + 1], x))
+        return vk_x
+
+    def online_verify_weak_IC(self, proof):
+        """e(A, B) == e(alpha, beta) * e(vk_x, gamma) * e(C, delta) with
+        precomputed gamma/delta coefficients and one shared final exp
+        (parity: online_verifier_weak_IC, tcc:569-624; pairing eqn
+        :602-608).  Includes the proof well-formedness (on-curve) check."""
+        from .pairing import (
+            miller_loop, miller_loop_precomp, twist, cast_g1_to_fq12,
+            final_exponentiate)
+        if not isinstance(proof, Proof):
+            raise TypeError("Invalid proof type")
+        if len(proof.input) + 1 > len(self.gammaABC):
+            return False
+        if not (is_on_curve(proof.A, B1) and is_on_curve(proof.B, B2)
+                and is_on_curve(proof.C, B1)):
+            return False
+        vk_x = self._accumulate(proof.input)
+        acc = miller_loop(twist(proof.B), cast_g1_to_fq12(proof.A))
+        acc = acc * miller_loop_precomp(self.gamma_precomp, neg(vk_x))
+        acc = acc * miller_loop_precomp(self.delta_precomp, neg(proof.C))
+        return final_exponentiate(acc) == self.alpha_beta
+
+    def online_verify_strong_IC(self, proof):
+        if len(proof.input) + 1 != len(self.gammaABC):
+            return False
+        return self.online_verify_weak_IC(proof)
+
+
+def affine_verify_weak_IC(vk, proof):
+    """Affine-ate variant (parity: affine_verifier_weak_IC, tcc:672-728).
+    This framework's host Miller loop is already affine (pairing.py uses
+    affine line functions), so the variant is the weak-IC check on a
+    freshly processed VK - kept as a distinct entry point for API parity
+    and for tests that pin all three verifier flavors."""
+    return ProcessedVerifyingKey(vk).online_verify_weak_IC(proof)
 
 
 class NativeVerifier(VerifyingKey):

@@ -46,7 +46,8 @@ class TestPinocchioEval(unittest.TestCase):
         self.assertEqual(_run(ADD, "0=2\n1=4"), {2: 6})
 
     def test_mul(self):
-        self.assertEqual(_run(MUL, "0=100\n1=123"), {2: 12300})
+        # input values are HEX (reference readFieldElementFromHex parity)
+        self.assertEqual(_run(MUL, "0=100\n1=123"), {2: 0x100 * 0x123})
 
     def test_xor_or(self):
         self.assertEqual(_run(XOR, "0=1\n1=0"), {2: 1})

@@ -76,5 +76,61 @@ class TestBellmanInterop(unittest.TestCase):
         self.assertTrue(keypair.vk.verify(proof))
 
 
+class TestBinaryMontgomeryKey(unittest.TestCase):
+    """Binary Montgomery-form key stream (role of the reference's
+    BINARY_OUTPUT/MONTGOMERY_OUTPUT, utils.hpp:166-185)."""
+
+    def _keypair(self):
+        pb = _cubic()
+        return pb, generator(pb, rng=lambda: _rng.randrange(1, P))
+
+    def test_binary_roundtrip_exact(self):
+        from ethsnarks_tpu.serialization import (
+            write_pk_binary, read_pk_binary)
+        pb, keypair = self._keypair()
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, 'pk.bin')
+            write_pk_binary(keypair.pk, path)
+            pk2 = read_pk_binary(path)
+        self.assertEqual(pk2.num_inputs, keypair.pk.num_inputs)
+        self.assertEqual(pk2.alpha_g1, keypair.pk.alpha_g1)
+        self.assertEqual(pk2.beta_g2, keypair.pk.beta_g2)
+        self.assertEqual(pk2.delta_g2, keypair.pk.delta_g2)
+        self.assertEqual(pk2.a_query, keypair.pk.a_query)
+        self.assertEqual(pk2.b_query, keypair.pk.b_query)
+        self.assertEqual(pk2.h_query_bitrev, keypair.pk.h_query_bitrev)
+        self.assertEqual(pk2.l_query, keypair.pk.l_query)
+
+    def test_bellman_to_binary_to_prove(self):
+        # bellman JSON -> binary Montgomery stream -> load -> prove
+        from ethsnarks_tpu.serialization import pk_bellman2ethsnarks
+        from ethsnarks_tpu.stubs import load_proving_key
+        pb, keypair = self._keypair()
+        qap = QAP(pb)
+        bell = pk_to_bellman_dict(keypair.pk, pb.num_variables,
+                                  qap.domain.bitrev)
+        with tempfile.TemporaryDirectory() as td:
+            bp = os.path.join(td, 'bellman.json')
+            kp = os.path.join(td, 'pk.bin')
+            with open(bp, 'w') as fh:
+                json.dump(bell, fh)
+            pk_bellman2ethsnarks(bp, kp)
+            pk2 = load_proving_key(kp)
+        ctx = ProverContext(pk2, pb, use_device_msm=False)
+        proof = ctx.prove(pb.values)
+        self.assertTrue(keypair.vk.verify(proof))
+
+    def test_legacy_pickle_still_loads(self):
+        import pickle
+        from ethsnarks_tpu.stubs import load_proving_key
+        pb, keypair = self._keypair()
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, 'pk.pkl')
+            with open(path, 'wb') as fh:
+                pickle.dump(keypair.pk, fh)
+            pk2 = load_proving_key(path)
+        self.assertEqual(pk2.a_query, keypair.pk.a_query)
+
+
 if __name__ == "__main__":
     unittest.main()

@@ -39,5 +39,55 @@ class TestVerify(unittest.TestCase):
         self.assertFalse(vk.verify(bad))
 
 
+class TestVerifierVariants(unittest.TestCase):
+    """Processed VK + online/weak-IC/affine variants (reference
+    tcc:552-728) all pinned to the same static fixture."""
+
+    def test_processed_vk_online_strong(self):
+        vk = VerifyingKey.from_dict(VK_STATIC)
+        proof = Proof.from_dict(PROOF_STATIC)
+        pvk = vk.process()
+        self.assertTrue(pvk.online_verify_strong_IC(proof))
+        bad = Proof(proof.A, proof.B, proof.C, [proof.input[0], 8])
+        self.assertFalse(pvk.online_verify_strong_IC(bad))
+
+    def test_processed_vk_online_weak(self):
+        vk = VerifyingKey.from_dict(VK_STATIC)
+        proof = Proof.from_dict(PROOF_STATIC)
+        pvk = vk.process()
+        self.assertTrue(pvk.online_verify_weak_IC(proof))
+        # weak IC accepts a SHORTER input vector (extra gammaABC unused) -
+        # the static proof has the full vector, so a truncated one must
+        # fail the pairing (the accumulated vk_x changes)
+        short = Proof(proof.A, proof.B, proof.C, proof.input[:1])
+        self.assertFalse(pvk.online_verify_weak_IC(short))
+        # strong IC rejects on the length check alone
+        self.assertFalse(pvk.online_verify_strong_IC(short))
+        # too many inputs: weak rejects too
+        long = Proof(proof.A, proof.B, proof.C, proof.input + [1, 2])
+        self.assertFalse(pvk.online_verify_weak_IC(long))
+
+    def test_weak_IC_on_vk(self):
+        vk = VerifyingKey.from_dict(VK_STATIC)
+        proof = Proof.from_dict(PROOF_STATIC)
+        self.assertTrue(vk.verify_weak_IC(proof))
+
+    def test_affine_variant(self):
+        from ethsnarks_tpu.verifier import affine_verify_weak_IC
+        vk = VerifyingKey.from_dict(VK_STATIC)
+        proof = Proof.from_dict(PROOF_STATIC)
+        self.assertTrue(affine_verify_weak_IC(vk, proof))
+
+    def test_miller_precomp_matches_plain(self):
+        from ethsnarks_tpu.pairing import (
+            G2Precomp, miller_loop, miller_loop_precomp, twist,
+            cast_g1_to_fq12)
+        vk = VerifyingKey.from_dict(VK_STATIC)
+        proof = Proof.from_dict(PROOF_STATIC)
+        pre = G2Precomp(vk.gamma)
+        want = miller_loop(twist(vk.gamma), cast_g1_to_fq12(proof.A))
+        self.assertEqual(miller_loop_precomp(pre, proof.A), want)
+
+
 if __name__ == "__main__":
     unittest.main()
