@@ -220,3 +220,48 @@ class NativeVerifier(VerifyingKey):
         lib_verify.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         lib_verify.restype = ctypes.c_bool
         return lib_verify(vk_cstr, proof_cstr)
+
+    def process_native(self, native_library_path):
+        """Processed-VK handle on the native side (the reference's
+        online/offline verifier split): process once, verify many."""
+        return NativeProcessedVK(self, native_library_path)
+
+
+class NativeProcessedVK(object):
+    """Opaque native processed-VK handle (G2 line coefficients +
+    e(alpha,beta) precomputed in C++); weak/strong online verification."""
+
+    def __init__(self, vk, native_library_path):
+        lib = ctypes.cdll.LoadLibrary(native_library_path)
+        lib.ethsnarks_process_vk.argtypes = [ctypes.c_char_p]
+        lib.ethsnarks_process_vk.restype = ctypes.c_void_p
+        lib.ethsnarks_verify_prepared.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_char_p]
+        lib.ethsnarks_verify_prepared.restype = ctypes.c_bool
+        lib.ethsnarks_verify_prepared_strong.argtypes = [ctypes.c_void_p,
+                                                         ctypes.c_char_p]
+        lib.ethsnarks_verify_prepared_strong.restype = ctypes.c_bool
+        lib.ethsnarks_release_vk.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._handle = lib.ethsnarks_process_vk(
+            vk.to_json().encode('ascii'))
+        if not self._handle:
+            raise ValueError("native process_vk failed")
+
+    def verify(self, proof, strong_ic=True):
+        if not isinstance(proof, Proof):
+            raise TypeError("Invalid proof type")
+        fn = (self._lib.ethsnarks_verify_prepared_strong if strong_ic
+              else self._lib.ethsnarks_verify_prepared)
+        return fn(self._handle, proof.to_json().encode('ascii'))
+
+    def close(self):
+        if self._handle:
+            self._lib.ethsnarks_release_vk(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

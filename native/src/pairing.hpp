@@ -187,4 +187,78 @@ inline bool pairing_product_is_one(
     return final_exponentiate(acc) == Fq12::one();
 }
 
+// ---- precomputed-G2 Miller loop (processed verification key) ----
+//
+// Role of libff's G2_precomp in the reference's verifier_process_vk
+// (r1cs_gg_ppzksnark_zok.tcc:552-567): precompute each Miller step's line
+// coefficients for a FIXED G2 point once, so per-proof work is only line
+// evaluations (no Fq12 inversions).
+
+struct LineStep {
+    bool dbl;       // f = f^2 * line  (else f = f * line)
+    bool vertical;  // line is (t.x - x1), no slope
+    Fq12 m, x, y;
+};
+
+struct G2Precomp {
+    std::vector<LineStep> steps;
+};
+
+inline LineStep line_coeffs(bool dbl, const G12 &p1, const G12 &p2) {
+    LineStep s;
+    s.dbl = dbl;
+    if (!(p1.x == p2.x)) {
+        s.vertical = false;
+        s.m = (p2.y - p1.y) * (p2.x - p1.x).inverse();
+    } else if (p1.y == p2.y) {
+        s.vertical = false;
+        Fq12 three = Fq12::one() + Fq12::one() + Fq12::one();
+        Fq12 two = Fq12::one() + Fq12::one();
+        s.m = (three * p1.x * p1.x) * (two * p1.y).inverse();
+    } else {
+        s.vertical = true;
+    }
+    s.x = p1.x;
+    s.y = p1.y;
+    return s;
+}
+
+inline G2Precomp precompute_g2(const G2 &q) {
+    G2Precomp pre;
+    if (q.inf) return pre;
+    const uint64_t ate_lo = 11347224129447541672ULL;
+    auto ate_bit = [&](int i) -> int {
+        if (i == 64) return 1;
+        return (int)((ate_lo >> i) & 1);
+    };
+    G12 qt = twist(q);
+    G12 r = qt;
+    for (int i = 63; i >= 0; --i) {
+        pre.steps.push_back(line_coeffs(true, r, r));
+        r = pt_double(r);
+        if (ate_bit(i)) {
+            pre.steps.push_back(line_coeffs(false, r, qt));
+            r = pt_add(r, qt);
+        }
+    }
+    G12 q1(qt.x.pow_limbs(Fq::Q, 4), qt.y.pow_limbs(Fq::Q, 4));
+    G12 nq2(q1.x.pow_limbs(Fq::Q, 4), -(q1.y.pow_limbs(Fq::Q, 4)));
+    pre.steps.push_back(line_coeffs(false, r, q1));
+    r = pt_add(r, q1);
+    pre.steps.push_back(line_coeffs(false, r, nq2));
+    return pre;
+}
+
+inline Fq12 miller_loop_precomp(const G2Precomp &pre, const G1 &p) {
+    if (p.inf || pre.steps.empty()) return Fq12::one();
+    G12 t = cast_g1(p);
+    Fq12 f = Fq12::one();
+    for (const auto &s : pre.steps) {
+        Fq12 val = s.vertical ? (t.x - s.x)
+                              : (s.m * (t.x - s.x) - (t.y - s.y));
+        f = s.dbl ? (f * f * val) : (f * val);
+    }
+    return f;
+}
+
 }  // namespace ethsnarks

@@ -5,6 +5,7 @@
 // consumed via ctypes by ethsnarks_tpu.verifier.NativeVerifier.  Formats are
 // identical to the Python/EVM conventions (G2 coefficients c1-first).
 
+#include <array>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -102,54 +103,128 @@ static bool parse_scalar_words(const json::ValuePtr &v, uint64_t out[4]) {
     return parse_bigint_words(v->str, out);
 }
 
+struct ParsedVK {
+    G1 alpha;
+    G2 beta, gamma, delta;
+    std::vector<G1> gamma_abc;
+};
+
+struct ParsedProof {
+    G1 a, c;
+    G2 b;
+    std::vector<std::array<uint64_t, 4>> inputs;
+};
+
+static bool parse_vk(const char *vk_json, ParsedVK &out) {
+    json::Parser vkp(vk_json ? vk_json : "");
+    auto vk = vkp.parse();
+    if (vk->type != json::Value::OBJECT) return false;
+    if (!parse_g1(vk->obj["alpha"], out.alpha)) return false;
+    if (!parse_g2(vk->obj["beta"], out.beta)) return false;
+    if (!parse_g2(vk->obj["gamma"], out.gamma)) return false;
+    if (!parse_g2(vk->obj["delta"], out.delta)) return false;
+    auto gabc = vk->obj["gammaABC"];
+    if (!gabc || gabc->type != json::Value::ARRAY || gabc->arr.empty())
+        return false;
+    for (auto &pt : gabc->arr) {
+        G1 g;
+        if (!parse_g1(pt, g)) return false;
+        out.gamma_abc.push_back(g);
+    }
+    return true;
+}
+
+static bool parse_proof(const char *proof_json, ParsedProof &out) {
+    json::Parser prp(proof_json ? proof_json : "");
+    auto proof = prp.parse();
+    if (proof->type != json::Value::OBJECT) return false;
+    if (!parse_g1(proof->obj["A"], out.a)) return false;
+    if (!parse_g2(proof->obj["B"], out.b)) return false;
+    if (!parse_g1(proof->obj["C"], out.c)) return false;
+    auto inputs = proof->obj["input"];
+    if (!inputs || inputs->type != json::Value::ARRAY) return false;
+    for (auto &iv : inputs->arr) {
+        std::array<uint64_t, 4> w;
+        if (!parse_scalar_words(iv, w.data())) return false;
+        out.inputs.push_back(w);
+    }
+    return true;
+}
+
+static G1 accumulate_vk_x(const ParsedVK &vk, const ParsedProof &proof) {
+    G1 vk_x = vk.gamma_abc[0];
+    for (size_t i = 0; i < proof.inputs.size(); ++i)
+        vk_x = pt_add(vk_x,
+                      pt_mul(vk.gamma_abc[i + 1], proof.inputs[i].data(), 4));
+    return vk_x;
+}
+
 bool verify_json(const char *vk_json, const char *proof_json) {
     try {
-        json::Parser vkp(vk_json ? vk_json : "");
-        json::Parser prp(proof_json ? proof_json : "");
-        auto vk = vkp.parse();
-        auto proof = prp.parse();
-        if (vk->type != json::Value::OBJECT ||
-            proof->type != json::Value::OBJECT)
+        ParsedVK vk;
+        ParsedProof proof;
+        if (!parse_vk(vk_json, vk) || !parse_proof(proof_json, proof))
             return false;
-
-        G1 alpha;
-        G2 beta, gamma, delta;
-        if (!parse_g1(vk->obj["alpha"], alpha)) return false;
-        if (!parse_g2(vk->obj["beta"], beta)) return false;
-        if (!parse_g2(vk->obj["gamma"], gamma)) return false;
-        if (!parse_g2(vk->obj["delta"], delta)) return false;
-        auto gabc = vk->obj["gammaABC"];
-        if (!gabc || gabc->type != json::Value::ARRAY || gabc->arr.empty())
-            return false;
-        std::vector<G1> gamma_abc;
-        for (auto &pt : gabc->arr) {
-            G1 g;
-            if (!parse_g1(pt, g)) return false;
-            gamma_abc.push_back(g);
-        }
-
-        G1 a, c;
-        G2 b;
-        if (!parse_g1(proof->obj["A"], a)) return false;
-        if (!parse_g2(proof->obj["B"], b)) return false;
-        if (!parse_g1(proof->obj["C"], c)) return false;
-        auto inputs = proof->obj["input"];
-        if (!inputs || inputs->type != json::Value::ARRAY) return false;
-        if (inputs->arr.size() + 1 != gamma_abc.size()) return false;
-
-        G1 vk_x = gamma_abc[0];
-        for (size_t i = 0; i < inputs->arr.size(); ++i) {
-            uint64_t w[4];
-            if (!parse_scalar_words(inputs->arr[i], w)) return false;
-            vk_x = pt_add(vk_x, pt_mul(gamma_abc[i + 1], w, 4));
-        }
-
+        // strong input consistency
+        if (proof.inputs.size() + 1 != vk.gamma_abc.size()) return false;
+        G1 vk_x = accumulate_vk_x(vk, proof);
         std::vector<std::pair<G1, G2>> pairs;
-        pairs.emplace_back(a, b);
-        pairs.emplace_back(pt_neg(vk_x), gamma);
-        pairs.emplace_back(pt_neg(c), delta);
-        pairs.emplace_back(pt_neg(alpha), beta);
+        pairs.emplace_back(proof.a, proof.b);
+        pairs.emplace_back(pt_neg(vk_x), vk.gamma);
+        pairs.emplace_back(pt_neg(proof.c), vk.delta);
+        pairs.emplace_back(pt_neg(vk.alpha), vk.beta);
         return pairing_product_is_one(pairs);
+    } catch (...) {
+        return false;
+    }
+}
+
+// ---- processed verification key (parity: verifier_process_vk +
+// online_verifier_weak_IC, reference tcc:552-624) ----
+
+struct ProcessedVK {
+    Fq12 alpha_beta;          // e(alpha, beta), final-exponentiated
+    G2Precomp gamma_pre, delta_pre;
+    std::vector<G1> gamma_abc;
+};
+
+ProcessedVK *process_vk_json(const char *vk_json) {
+    try {
+        ParsedVK vk;
+        if (!parse_vk(vk_json, vk)) return nullptr;
+        auto *pvk = new ProcessedVK();
+        pvk->alpha_beta = final_exponentiate(
+            miller_loop(twist(vk.beta), cast_g1(vk.alpha)));
+        pvk->gamma_pre = precompute_g2(vk.gamma);
+        pvk->delta_pre = precompute_g2(vk.delta);
+        pvk->gamma_abc = vk.gamma_abc;
+        return pvk;
+    } catch (...) {
+        return nullptr;
+    }
+}
+
+bool verify_prepared_json(const ProcessedVK *pvk, const char *proof_json,
+                          bool strong_ic) {
+    try {
+        if (!pvk) return false;
+        ParsedProof proof;
+        if (!parse_proof(proof_json, proof)) return false;
+        if (strong_ic) {
+            if (proof.inputs.size() + 1 != pvk->gamma_abc.size())
+                return false;
+        } else if (proof.inputs.size() + 1 > pvk->gamma_abc.size()) {
+            return false;
+        }
+        G1 vk_x = pvk->gamma_abc[0];
+        for (size_t i = 0; i < proof.inputs.size(); ++i)
+            vk_x = pt_add(vk_x, pt_mul(pvk->gamma_abc[i + 1],
+                                       proof.inputs[i].data(), 4));
+        // e(A, B) * e(-vk_x, gamma) * e(-C, delta) == e(alpha, beta)
+        Fq12 acc = miller_loop(twist(proof.b), cast_g1(proof.a));
+        acc = acc * miller_loop_precomp(pvk->gamma_pre, pt_neg(vk_x));
+        acc = acc * miller_loop_precomp(pvk->delta_pre, pt_neg(proof.c));
+        return final_exponentiate(acc) == pvk->alpha_beta;
     } catch (...) {
         return false;
     }
@@ -159,4 +234,27 @@ bool verify_json(const char *vk_json, const char *proof_json) {
 
 extern "C" bool ethsnarks_verify(const char *vk_json, const char *proof_json) {
     return ethsnarks::verify_json(vk_json, proof_json);
+}
+
+// Processed-VK C ABI: process once, verify many (the reference's
+// online/offline split).  Handle is opaque; release with
+// ethsnarks_release_vk.
+extern "C" void *ethsnarks_process_vk(const char *vk_json) {
+    return ethsnarks::process_vk_json(vk_json);
+}
+
+extern "C" bool ethsnarks_verify_prepared(void *handle,
+                                          const char *proof_json) {
+    return ethsnarks::verify_prepared_json(
+        static_cast<ethsnarks::ProcessedVK *>(handle), proof_json, false);
+}
+
+extern "C" bool ethsnarks_verify_prepared_strong(void *handle,
+                                                 const char *proof_json) {
+    return ethsnarks::verify_prepared_json(
+        static_cast<ethsnarks::ProcessedVK *>(handle), proof_json, true);
+}
+
+extern "C" void ethsnarks_release_vk(void *handle) {
+    delete static_cast<ethsnarks::ProcessedVK *>(handle);
 }

@@ -54,6 +54,21 @@ class TestNativeVerifier(unittest.TestCase):
             self.assertEqual(out.returncode, 0)
             self.assertIn('OK', out.stdout)
 
+    def test_processed_vk_native(self):
+        vk = NativeVerifier.from_dict(VK_STATIC)
+        proof = Proof.from_dict(PROOF_STATIC)
+        pvk = vk.process_native(_LIB)
+        try:
+            self.assertTrue(pvk.verify(proof))
+            self.assertTrue(pvk.verify(proof, strong_ic=False))
+            bad = Proof(proof.A, proof.B, proof.C, [proof.input[0], 8])
+            self.assertFalse(pvk.verify(bad))
+            short = Proof(proof.A, proof.B, proof.C, proof.input[:1])
+            self.assertFalse(pvk.verify(short))            # strong: length
+            self.assertFalse(pvk.verify(short, strong_ic=False))  # pairing
+        finally:
+            pvk.close()
+
     def test_malformed_json(self):
         vk = NativeVerifier.from_dict(VK_STATIC)
         import ctypes
