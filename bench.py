@@ -10,12 +10,15 @@ libsnark/mcl Pippenger rate for 2^20-point BN254 G1 MSMs (order-of-magnitude
 anchor, documented in BASELINE.md table: prover asymptotics row).
 
 Env knobs:
-  BENCH_MSM_SIZE   log2 number of points (default 16; the 2^20 north-star
-                   run is BENCH_MSM_SIZE=20 - first compiles of a new shape
-                   take minutes on the axon remote-compile service, so the
-                   default is sized to finish reliably on a cold cache)
+  BENCH_MSM_SIZE   log2 number of points (default 20 - the north-star
+                   shape; measured r3: 171,929 pts/s correct=True at
+                   c=13.  First compiles of a new shape take minutes on
+                   the axon remote-compile service; the repo ships a warm
+                   .jax_cache)
   BENCH_MSM_C      Pippenger window bits (default "auto" = msm_red.best_c)
   BENCH_REPS       timed repetitions (default 3)
+  BENCH_COMPILE_BUDGET  auto-probe subprocess timeout, seconds (default
+                   1800: the 2^20 host-side setup alone is minutes)
 """
 
 import json
@@ -42,7 +45,7 @@ BASELINE_POINTS_PER_SEC = 1.0e6
 
 
 def main():
-    log_n = int(os.environ.get("BENCH_MSM_SIZE", "16"))
+    log_n = int(os.environ.get("BENCH_MSM_SIZE", "20"))
     c_env = os.environ.get("BENCH_MSM_C", "auto")
     if c_env == "auto":
         from ethsnarks_tpu.ops.msm_red import best_c
@@ -92,7 +95,7 @@ def main():
     mode = os.environ.get("BENCH_MSM_MODE", "auto")
     if mode == "auto":
         import subprocess
-        budget = int(os.environ.get("BENCH_COMPILE_BUDGET", "300"))
+        budget = int(os.environ.get("BENCH_COMPILE_BUDGET", "1800"))
         fail_line = None
         for probe_mode in ("red", "fused"):
             env = dict(os.environ)
