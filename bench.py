@@ -130,17 +130,26 @@ def main():
 
     def run_red():
         # Red-core (signed redundant digits) dense MSM: whole MSM in one
-        # device dispatch (ops/msm_red.py).
+        # device dispatch (ops/msm_red.py).  Digits live on device and the
+        # plan is the distribution-free static one - the prover's
+        # operating point (H query always; A/B/L with
+        # Config(msm_static_plan=True)): the timed region is dispatch +
+        # device pipeline + result readback, not the per-call re-upload
+        # of an 84MB digit matrix (2^20) over the tunnel.
         from ethsnarks_tpu.ops import msm_red
         base_red = msm_red.g1_to_red(base_pts)
         pts_red = tuple(jnp.tile(a, (1, reps_tile)) for a in base_red)
-        r = msm_red.msm_g1_dense_red(pts_red, digits, c)    # compile
+        ddev = jax.device_put(jnp.asarray(digits))
+        jax.block_until_ready(ddev)
+        r = msm_red.msm_g1_dense_red(pts_red, ddev, c,
+                                     static_plan=True)      # compile
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = msm_red.msm_g1_dense_red(pts_red, digits, c)
+            r = msm_red.msm_g1_dense_red(pts_red, ddev, c,
+                                         static_plan=True)
             times.append(time.perf_counter() - t0)
-        return r, min(times), "red-dense"
+        return r, min(times), "red-dense-static"
 
     def run_fused():
         # Dense all-windows fused Pallas MSM (grouped single-dispatch

@@ -18,8 +18,23 @@ device-resident key shards) reused across proofs.
 """
 
 import secrets
+from functools import lru_cache
 
 import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _digit_extract_jit(c):
+    """Jitted on-device digit extraction for a query's witness columns."""
+    import jax
+    import jax.numpy as jnp
+    from .ops import msm as msm_ops
+
+    @jax.jit
+    def run(wl, idx):
+        return msm_ops.window_digits_device(jnp.take(wl, idx, axis=1), c)
+
+    return run
 
 
 from .field import SNARK_SCALAR_FIELD
@@ -39,6 +54,11 @@ class Config(object):
     API compatibility and ignored (documented):
 
     - multi_exp_c: Pippenger window bits override (None = size heuristic)
+    - msm_max_lanes: dense-pipeline lane budget per window group (sets the
+      lax.scan group width in ops/msm_red._plan; default 2^23 G1 / 2^22 G2)
+    - msm_static_plan: 'auto' (static for the device-resident H query,
+      host-exact for A/B/L), True (static everywhere - no host digit
+      inspection, overflow-replan backstop), False (host-exact everywhere)
     - fft: 'dif_dit' (the only engine; 'basic_radix2'/'recursive' accepted
       as aliases for compatibility)
     - swapAB: evaluate B-query via swapped operand order (accepted, no-op -
@@ -50,7 +70,8 @@ class Config(object):
     def __init__(self, multi_exp_c=None, fft='dif_dit', swapAB=False,
                  num_threads=0, smt=False, radixes=(),
                  multi_exp_prefetch_locality=3, prefetch_stride=0,
-                 multi_exp_look_ahead=1):
+                 multi_exp_look_ahead=1, msm_max_lanes=None,
+                 msm_static_plan='auto'):
         self.multi_exp_c = multi_exp_c
         self.fft = fft
         self.swapAB = swapAB
@@ -60,6 +81,9 @@ class Config(object):
         self.multi_exp_prefetch_locality = multi_exp_prefetch_locality
         self.prefetch_stride = prefetch_stride
         self.multi_exp_look_ahead = multi_exp_look_ahead
+        self.msm_max_lanes = msm_max_lanes
+        assert msm_static_plan in ('auto', True, False)
+        self.msm_static_plan = msm_static_plan
 
 
 class _FixedBaseMul(object):
@@ -212,16 +236,78 @@ class ProverContext(object):
     generic elsewhere), 'red', 'fused' (v1-core dense), or 'generic'."""
 
     def __init__(self, pk, cs, use_device_msm=True, config=None,
-                 msm_impl='auto'):
+                 msm_impl='auto', mesh=None):
         self.pk = pk
         self.qap = QAP(cs)
         self.use_device_msm = use_device_msm
         self.config = config or Config()
         assert msm_impl in ('auto', 'red', 'fused', 'generic')
         self.msm_impl = msm_impl
+        self.mesh = mesh
         self._device_keys = None
-        if use_device_msm:
+        if mesh is not None:
+            self._prepare_mesh_keys()
+        elif use_device_msm:
             self._prepare_device_keys()
+
+    def _prepare_mesh_keys(self):
+        """Sharded production prover (multi-chip): key-query point shards
+        live sharded over the mesh, the witness map runs under shard_map
+        (sharded NTT with ppermute cross-stages), and all four MSMs run the
+        sharded red pipeline with a gathered tree combine.
+
+        TPU-native analog of the reference's OpenMP work splitting
+        (/root/reference/src/prover_config.hpp:57-85); see SURVEY.md §5.8."""
+        import jax
+        import jax.numpy as jnp
+        from .ops import msm_red
+        from .ops import msm as msm_ops
+        from .ops.fp import Fr
+        from .ops.msm_red import best_c
+        from .parallel.msm_red_sharded import ShardedRedMSM
+        from .parallel.qap_sharded import ShardedWitnessMap
+        pk = self.pk
+        mesh = self.mesh
+        n_dev = int(np.prod(mesh.devices.shape))
+
+        def make(query_pts, g2):
+            pts = list(query_pts)
+            b_pad = max(n_dev, -(-len(pts) // n_dev) * n_dev)
+            pts = pts + [None] * (b_pad - len(pts))   # identity padding
+            c = (self.config.multi_exp_c
+                 or best_c(max(2, b_pad // n_dev)))
+            lanes = (self.config.msm_max_lanes
+                     or (1 << 22 if g2 else 1 << 23))
+            msm = ShardedRedMSM(mesh, b_pad, c, g2=g2, max_lanes=lanes)
+            red = (msm_red.g2_to_red if g2 else msm_red.g1_to_red)(pts)
+            return msm, msm.shard_points(red), c, b_pad
+
+        self._a_idx = np.array([i for i, _ in pk.a_query], dtype=np.int64)
+        self._b_idx = np.array([i for i, _ in pk.b_query], dtype=np.int64)
+        self._a_msm, self._a_pts, self._a_c, self._a_bpad = \
+            make([pt for _, pt in pk.a_query], False)
+        self._b_msm, self._b_pts, self._b_c, self._b_bpad = \
+            make([pt for _, pt in pk.b_query], True)
+        self._l_msm, self._l_pts, self._l_c, self._l_bpad = \
+            make(pk.l_query, False)
+        self._h_msm, self._h_pts, self._h_c, self._h_bpad = \
+            make(pk.h_query_bitrev, False)
+        assert self._h_bpad == len(pk.h_query_bitrev), \
+            "H query is a pow2 domain; mesh must divide it"
+        self._wm = ShardedWitnessMap(self.qap, mesh)
+        c_h = self._h_c
+        self._h_digit_fn = jax.jit(
+            lambda hm: msm_ops.window_digits_device(Fr.from_mont(hm), c_h))
+        self._device_keys = True
+
+    @staticmethod
+    def _pad_digit_cols(digits, b_pad):
+        n = digits.shape[1]
+        if n == b_pad:
+            return digits
+        return np.concatenate(
+            [digits, np.zeros((digits.shape[0], b_pad - n),
+                              dtype=digits.dtype)], axis=1)
 
     def _impl(self):
         if self.msm_impl != 'auto':
@@ -232,6 +318,10 @@ class ProverContext(object):
     def _use_fused(self):
         return self._impl() in ('red', 'fused')
 
+    def _static(self, default):
+        return (default if self.config.msm_static_plan == 'auto'
+                else self.config.msm_static_plan)
+
     def _msm_g1(self, pts_dev, digits, c, static_plan=False):
         """G1 MSM dispatch: red-core dense single-dispatch Pallas path on
         TPU, generic multi-call path elsewhere.  Returns a host affine
@@ -241,10 +331,14 @@ class ProverContext(object):
         impl = self._impl()
         if impl == 'red':
             from .ops import msm_red
+            static_plan = self._static(static_plan)
             if not static_plan:
                 digits = np.asarray(digits)
+            kw = {}
+            if self.config.msm_max_lanes:
+                kw['max_lanes'] = self.config.msm_max_lanes
             return msm_red.msm_g1_dense_red(
-                pts_dev, digits, c, static_plan=static_plan)
+                pts_dev, digits, c, static_plan=static_plan, **kw)
         if impl == 'fused':
             from .ops import pallas_msm
             return pallas_msm.msm_g1_dense_allwin(
@@ -259,8 +353,12 @@ class ProverContext(object):
         impl = self._impl()
         if impl == 'red':
             from .ops import msm_red
+            kw = {}
+            if self.config.msm_max_lanes:
+                kw['max_lanes'] = self.config.msm_max_lanes
             return msm_red.msm_g2_dense_red(
-                pts_dev, np.asarray(digits), c)
+                pts_dev, np.asarray(digits), c,
+                static_plan=self._static(False), **kw)
         if impl == 'fused':
             from .ops import pallas_msm
             return pallas_msm.msm_g2_dense_allwin(
@@ -304,6 +402,18 @@ class ProverContext(object):
         self._h_c = c_h
         self._h_digit_fn = jax.jit(
             lambda hm: msm_ops.window_digits_device(Fr.from_mont(hm), c_h))
+        if self.config.msm_static_plan is True and self._impl() == 'red':
+            # fully device-resident digit pipeline for A/B/L too: gather
+            # the query's witness columns + extract windows on device (the
+            # host path re-uploads full digit matrices every proof - the
+            # stage profile showed the upload costing more than the sort)
+            import jax.numpy as jnp
+            self._a_idx_dev = jnp.asarray(self._a_idx.astype(np.int32))
+            self._b_idx_dev = jnp.asarray(self._b_idx.astype(np.int32))
+            n_l = self.qap.num_variables - pk.num_inputs - 1
+            self._l_idx_dev = jnp.asarray(
+                np.arange(pk.num_inputs + 1,
+                          pk.num_inputs + 1 + n_l, dtype=np.int32))
         self._device_keys = True
 
     # ----- host MSM fallback -----
@@ -345,7 +455,27 @@ class ProverContext(object):
         w = [int(v) % P for v in witness_values]
         assert w[0] == 1
 
-        if not self.use_device_msm:
+        if self.mesh is not None:
+            from .ops import msm as msm_ops
+            from .ops.fp import Fr
+            w_limbs = Fr.to_limbs_fast(w)
+            # sharded witness map -> H digits extracted on device (sharded)
+            h_mont = self._wm(Fr.to_mont_jit(w_limbs))
+            h_digits = self._h_digit_fn(h_mont)
+            h_eval = self._h_msm.call_device(self._h_pts, h_digits)
+            a_digits = self._pad_digit_cols(
+                msm_ops.window_digits_from_limbs_np(
+                    w_limbs[:, self._a_idx], self._a_c), self._a_bpad)
+            a_eval = self._a_msm(self._a_pts, a_digits)
+            b_digits = self._pad_digit_cols(
+                msm_ops.window_digits_from_limbs_np(
+                    w_limbs[:, self._b_idx], self._b_c), self._b_bpad)
+            b_eval = self._b_msm(self._b_pts, b_digits)
+            l_digits = self._pad_digit_cols(
+                msm_ops.window_digits_from_limbs_np(
+                    w_limbs[:, ni + 1:], self._l_c), self._l_bpad)
+            l_eval = self._l_msm(self._l_pts, l_digits)
+        elif not self.use_device_msm:
             from .ops.fp import Fr
             h_bitrev_mont = self.qap.witness_map_device(w)
             h_bitrev = Fr.from_limbs(
@@ -375,18 +505,27 @@ class ProverContext(object):
                                   static_plan=True)
 
             a_c = self._pick_c(len(self._a_idx))
-            a_digits = msm_ops.window_digits_from_limbs_np(
-                w_limbs[:, self._a_idx], a_c)
-            a_eval = self._msm_g1(self._a_pts, a_digits, a_c)
-
             b_c = self._pick_c(len(self._b_idx))
-            b_digits = msm_ops.window_digits_from_limbs_np(
-                w_limbs[:, self._b_idx], b_c)
-            b_eval = self._msm_g2(self._b_pts, b_digits, b_c)
-
             l_c = self._pick_c(self.qap.num_variables - ni - 1)
-            l_digits = msm_ops.window_digits_from_limbs_np(
-                w_limbs[:, ni + 1:], l_c)
+            if (self.config.msm_static_plan is True
+                    and self._impl() == 'red'):
+                # device-resident digit pipeline: ONE witness-limb upload
+                # feeds on-device column gathers + window extraction for
+                # all three queries (no per-proof digit-matrix uploads)
+                import jax.numpy as jnp
+                wl_dev = jnp.asarray(w_limbs)
+                a_digits = _digit_extract_jit(a_c)(wl_dev, self._a_idx_dev)
+                b_digits = _digit_extract_jit(b_c)(wl_dev, self._b_idx_dev)
+                l_digits = _digit_extract_jit(l_c)(wl_dev, self._l_idx_dev)
+            else:
+                a_digits = msm_ops.window_digits_from_limbs_np(
+                    w_limbs[:, self._a_idx], a_c)
+                b_digits = msm_ops.window_digits_from_limbs_np(
+                    w_limbs[:, self._b_idx], b_c)
+                l_digits = msm_ops.window_digits_from_limbs_np(
+                    w_limbs[:, ni + 1:], l_c)
+            a_eval = self._msm_g1(self._a_pts, a_digits, a_c)
+            b_eval = self._msm_g2(self._b_pts, b_digits, b_c)
             l_eval = self._msm_g1(self._l_pts, l_digits, l_c)
 
         g_a = add(pk.alpha_g1, a_eval)

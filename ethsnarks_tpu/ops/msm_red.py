@@ -915,7 +915,20 @@ def _plan(ks, c, max_lanes, force_tail=False):
     if m == 0:
         return 1, 0, 0, tail_start, tail_nw, tail_k, 0
     budget_nw = max(1, max_lanes // ((1 << c) * main_k))
-    main_nw = min(1 << (budget_nw.bit_length() - 1), _pow2ceil(m))
+    cap = min(1 << (budget_nw.bit_length() - 1), _pow2ceil(m))
+    # Group width: every padded row costs a full 2^c * main_k dense slab
+    # in the gather + tree (the dominant device stages - measured 2^16/
+    # c=11: 23 real windows padded to 32 wasted ~28% of the tree).  Pick
+    # the LARGEST pow2 width whose total padded rows stay within ~12% of
+    # m; scan-step overhead is small next to a slab.
+    slack = max(1, m // 8)
+    main_nw = 1
+    w = cap
+    while w >= 1:
+        if (-(-m // w)) * w - m <= slack:
+            main_nw = w
+            break
+        w //= 2
     n_groups = -(-m // main_nw)
     return main_nw, n_groups, main_k, tail_start, tail_nw, tail_k, m
 
