@@ -1,0 +1,197 @@
+"""Production sharded red-core MSM: points sharded over the device mesh.
+
+MSM is additive over point partitions, so each device runs the FULL
+single-dispatch dense red pipeline (:func:`ops.msm_red._msm_dense_traced`:
+composite-key sort -> dense gather -> halving tree -> pairfold -> window
+Horner, on the signed redundant-digit field core) on its local point shard,
+then the n_dev partial points are all-gathered over ICI and tree-combined
+with ~log2(n_dev) complete additions - negligible vs the per-shard work.
+
+This is the TPU-native replacement for the reference's OpenMP-chunked
+multi-exp (/root/reference/src/prover_config.hpp:57-85 get_cpu_ranges +
+libff multi_exp chunking): where the reference splits point ranges over
+threads sharing one memory, we split them over chips and pay one
+all_gather of 6 (or 12, G2) tiny (RL, 1) leaves.
+
+Capacity planning is the distribution-free static plan sized for the PER-
+SHARD point count (uniform scalars: the Groth16 prover's operating point).
+The on-device overflow flag backs it up: on overflow the driver replans
+from host digits with exact per-shard capacities (max over shards) and
+reruns - same backstop contract as the single-chip driver.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops import msm_red
+from ..ops.msm_red import (
+    RL, _msm_dense_traced, _leaves, _nest, _cmapf, _padded_add,
+    _g1_consts_red, _g2_b3_red, static_msm_plan, merge_top_window_np,
+    _pow2ceil)
+from .mesh import AXIS
+
+
+def _window_ks_sharded(b_local, c, digits_merged, n_dev):
+    """Exact per-window pow2 capacities = max over shards (every shard runs
+    the same executable, so capacities are the per-shard worst case)."""
+    import math
+    nw, b = digits_merged.shape
+    mean = max(1, b_local >> c)
+    floor = mean + 4 * int(math.isqrt(mean)) + 8
+    ks = []
+    per = digits_merged.reshape(nw, n_dev, b_local)
+    for w in range(nw):
+        mx = 0
+        for d in range(n_dev):
+            counts = np.bincount(per[w, d])
+            if counts.shape[0] > 1:
+                mx = max(mx, int(counts[1:].max()))
+        need = max(mx + 4 * int(math.isqrt(mx)) + 8, floor) \
+            if mx > floor else floor
+        ks.append(_pow2ceil(need))
+    return ks
+
+
+class ShardedRedMSM:
+    """points+digits sharded along the batch axis; replicated host result.
+
+    One instance per (mesh, total point count, window bits, group); the
+    shard_map executable is built once and reused across calls (the
+    prover's device-resident key shards stay put)."""
+
+    def __init__(self, mesh, b, c, g2=False, max_lanes=1 << 23):
+        self.mesh = mesh
+        self.n_dev = int(np.prod(mesh.devices.shape))
+        assert b % self.n_dev == 0, (b, self.n_dev)
+        self.b = b
+        self.b_local = b // self.n_dev
+        self.c = c
+        self.g2 = g2
+        self.max_lanes = max_lanes
+        self.plan = static_msm_plan(self.b_local, c, max_lanes)
+        self._fn = self._build(self.plan)
+        self._dig_shard = NamedSharding(mesh, P(None, AXIS))
+
+    def _build(self, plan):
+        g2 = self.g2
+        b_local, c = self.b_local, self.c
+
+        def local(points, dm, dt):
+            res, ovf = _msm_dense_traced(
+                points, dm, dt, b_local, c, g2, plan['main_nw'],
+                plan['n_groups'], plan['main_k'], plan['tail_start'],
+                plan['tail_nw'], plan['tail_k'], plan['tc'])
+            # Return PER-SHARD partials; NO collective inside the body.
+            # EC addition is not psum-able over raw digit planes, and a
+            # rendezvous collective placed after the heavy per-shard
+            # pipeline deadlocks oversubscribed virtual-device meshes
+            # (XLA:CPU kills the program when shards reach the rendezvous
+            # >40s apart - 8 shards time-share 2 cores in CI).  The n_dev
+            # partials are a few hundred bytes; the driver combines them
+            # on the host (exact, one tunnel readback).
+            return tuple(_leaves(res, g2)), ovf[None].astype(jnp.int32)
+
+        if g2:
+            pair = (P(None, AXIS), P(None, AXIS))
+            pts_spec = (pair,) * 3
+            out_leaves = (P(None, AXIS),) * 6
+        else:
+            pts_spec = (P(None, AXIS),) * 3
+            out_leaves = (P(None, AXIS),) * 3
+        fn = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(pts_spec, P(None, AXIS), P(None, AXIS)),
+            out_specs=(out_leaves, P(AXIS)),
+            check_vma=False)
+        return jax.jit(fn)
+
+    def shard_points(self, points_red):
+        """device_put a red coordinate tuple with the batch axis sharded
+        over the mesh (call once; reuse across proofs)."""
+        spec = NamedSharding(self.mesh, P(None, AXIS))
+        return _cmapf(lambda a: jax.device_put(a, spec), points_red,
+                      self.g2)
+
+    def _combine_host(self, leaves):
+        """Per-shard partial points ((RL, n_dev) planes) -> one host
+        affine point (n_dev complete adds on the host - exact and
+        negligible next to the per-shard pipelines)."""
+        from ..bn254 import add as host_add
+        res = _nest(leaves, self.g2)
+        from_dev = msm_red.g2_from_red if self.g2 else msm_red.g1_from_red
+        out = None
+        for p in from_dev(res):
+            out = host_add(out, p)
+        return out
+
+    def __call__(self, points_red, digits):
+        """digits: (ceil(254/c), b) uint32 digit rows (host numpy or
+        device); returns a host affine point (None = infinity)."""
+        digits = np.asarray(digits)
+        dm, dt = merge_top_window_np(digits, self.c, self.plan)
+        leaves, ovf = self._fn(
+            points_red, jax.device_put(jnp.asarray(dm), self._dig_shard),
+            jax.device_put(jnp.asarray(dt), self._dig_shard))
+        if int(np.asarray(ovf).max()) > 0:
+            # static plan undershot: replan with exact per-shard capacities
+            merged_digits = self._merged(digits)
+            exact = _window_ks_sharded(self.b_local, self.c,
+                                       merged_digits, self.n_dev)
+            if exact == list(self.plan['ks']):
+                raise AssertionError(
+                    "sharded MSM capacity overflow (plan bug)")
+            plan = static_msm_plan(self.b_local, self.c, self.max_lanes,
+                                   ks=exact)
+            fn = self._build(plan)
+            dm, dt = merge_top_window_np(digits, self.c, plan)
+            leaves, ovf = fn(
+                points_red,
+                jax.device_put(jnp.asarray(dm), self._dig_shard),
+                jax.device_put(jnp.asarray(dt), self._dig_shard))
+            if int(np.asarray(ovf).max()) > 0:
+                raise AssertionError(
+                    "sharded MSM capacity overflow after exact replan")
+        return self._combine_host(leaves)
+
+    def _merged(self, digits):
+        if not self.plan['merged']:
+            return digits
+        row = digits[-2] + (digits[-1].astype(np.uint32) << self.c)
+        return np.concatenate([digits[:-2], row[None]], axis=0)
+
+    def call_device(self, points_red, digits_dev):
+        """Device-resident digits ((ceil(254/c), b) uint32, sharded or
+        reshardable): merge/split happen as traced jnp ops so the digits
+        never cross to the host (the prover's H query).  Falls back to the
+        host replan path on overflow."""
+        plan = self.plan
+        d = digits_dev
+        if plan['merged']:
+            row = d[-2] + (d[-1].astype(jnp.uint32) << self.c)
+            d = jnp.concatenate([d[:-2], row[None]], axis=0)
+        m = plan['m']
+        dm = d[:m]
+        pad_rows = plan['n_groups'] * plan['main_nw'] - m
+        if pad_rows:
+            dm = jnp.concatenate(
+                [dm, jnp.zeros((pad_rows, self.b), d.dtype)])
+        dt = (d[m:] if plan['tail_nw']
+              else jnp.zeros((1, self.b), d.dtype))
+        leaves, ovf = self._fn(points_red, dm, dt)
+        if int(np.asarray(ovf).max()) > 0:
+            return self(points_red, np.asarray(digits_dev))
+        return self._combine_host(leaves)
+
+
+_CACHE = {}
+
+
+def get_sharded_msm(mesh, b, c, g2=False, max_lanes=1 << 23):
+    """Cached ShardedRedMSM per (mesh, b, c, group, lane budget)."""
+    key = (id(mesh), b, c, g2, max_lanes)
+    if key not in _CACHE:
+        _CACHE[key] = ShardedRedMSM(mesh, b, c, g2=g2, max_lanes=max_lanes)
+    return _CACHE[key]

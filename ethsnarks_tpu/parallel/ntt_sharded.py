@@ -121,19 +121,59 @@ class ShardedNttDomain(NttDomain):
                 x = _stage_local_dit(x, tw, n, chunk)
         return x
 
+    # local traced transforms (composable inside a larger shard_map body;
+    # x is this device's (L, chunk) shard, scale chunks arrive pre-sharded)
+
+    def ifft_local(self, x):
+        """Evaluations -> bitrev coefficients incl 1/m (local shard)."""
+        x = self._dif_local(x, self.tw_inv)
+        scale = jnp.asarray(self.m_inv_mont)
+        return Fr.mul(x, jnp.broadcast_to(scale, x.shape))
+
+    def fft_local(self, x):
+        """Bitrev coefficients -> evaluations (local shard)."""
+        return self._dit_local(x, self.tw_fwd)
+
+    def coset_fft_local(self, x, scale_chunk):
+        """Bitrev coefficients -> evaluations on g*H.  scale_chunk: this
+        device's chunk of coset_scale_bitrev."""
+        return self._dit_local(Fr.mul(x, scale_chunk), self.tw_fwd)
+
+    def icoset_fft_local(self, x, unscale_chunk):
+        """Evaluations on g*H -> bitrev coefficients.  unscale_chunk: this
+        device's chunk of coset_unscale_bitrev."""
+        x = self.ifft_local(x)
+        return Fr.mul(x, unscale_chunk)
+
+    def divide_by_z_local(self, x):
+        scale = jnp.asarray(self.z_coset_inv_mont)
+        return Fr.mul(x, jnp.broadcast_to(scale, x.shape))
+
     # sharded public transforms
 
-    def sharded(self, fn_local):
+    def sharded(self, fn_local, n_scales=0):
+        """shard_map + jit a local transform; n_scales extra (L, m)
+        pointwise-constant operands are sharded like the data."""
+        specs = (P(None, AXIS),) * (1 + n_scales)
         return jax.jit(jax.shard_map(
             fn_local, mesh=self.mesh,
-            in_specs=P(None, AXIS), out_specs=P(None, AXIS)))
+            in_specs=specs, out_specs=P(None, AXIS)))
 
     def fft_coeffs_bitrev_to_evals_sharded(self):
-        return self.sharded(lambda x: self._dit_local(x, self.tw_fwd))
+        return self.sharded(self.fft_local)
 
     def ifft_evals_to_coeffs_bitrev_sharded(self):
-        def local(x):
-            x = self._dif_local(x, self.tw_inv)
-            scale = jnp.asarray(self.m_inv_mont)
-            return Fr.mul(x, jnp.broadcast_to(scale, x.shape))
-        return self.sharded(local)
+        return self.sharded(self.ifft_local)
+
+    def coset_fft_coeffs_bitrev_to_evals_sharded(self):
+        fn = self.sharded(self.coset_fft_local, n_scales=1)
+        scale = jnp.asarray(self.coset_scale_bitrev)
+        return lambda x: fn(x, scale)
+
+    def icoset_fft_evals_to_coeffs_bitrev_sharded(self):
+        fn = self.sharded(self.icoset_fft_local, n_scales=1)
+        unscale = jnp.asarray(self.coset_unscale_bitrev)
+        return lambda x: fn(x, unscale)
+
+    def divide_by_z_on_coset_sharded(self):
+        return self.sharded(self.divide_by_z_local)

@@ -9,6 +9,9 @@ proof with the pairing verifier.
 
 Usage: python tools/bench_prove.py [log2_constraints] [reps]
 Env:   PROVE_MSM_IMPL = auto|fused|generic (default auto)
+       PROVE_STATIC = 1  -> Config(msm_static_plan=True): fully device-
+                      resident digit pipeline for all four MSMs (one
+                      witness-limb upload per proof)
 """
 import json
 import os
@@ -88,8 +91,11 @@ def main():
             pickle.dump(keypair, fh)
 
     t0 = time.perf_counter()
+    from ethsnarks_tpu.groth16 import Config
+    config = Config(msm_static_plan=True) \
+        if os.environ.get("PROVE_STATIC") == "1" else None
     ctx = ProverContext(keypair.pk, pb, use_device_msm=True,
-                        msm_impl=msm_impl)
+                        msm_impl=msm_impl, config=config)
     print(f"context: {time.perf_counter()-t0:.1f}s "
           f"(device keys resident)", flush=True)
 
