@@ -6,12 +6,20 @@ all: native test
 
 test: python-test native-test
 
-# Default tier skips slow-marked (compile-heavy) tests via pytest.ini
-# addopts; the full suite's first cold run on a 2-core box is dominated by
-# XLA:CPU compiles of the big limb-arithmetic graphs (cached across runs
-# in .jax_cache_cpu).
+# Test tiers (cold budgets on a 2-core box with no compile cache):
+#   python-test         host tier: no XLA compiles at all - < 5 min cold.
+#                       This is the CI default and works on any machine.
+#   python-test-device  device tier: jit-compiling kernel/prover tests;
+#                       ~20-40 min cold on 2 CPU cores, minutes warm
+#                       (.jax_cache_cpu persists executables per machine).
+#   python-test-slow    slow-marked subset of the device tier (large-shape
+#                       envelopes, sharded prover) - heaviest compiles.
+#   python-test-all     everything.
 python-test:
 	$(PYTHON) -m pytest tests/ -x -q
+
+python-test-device:
+	$(PYTHON) -m pytest tests/ -x -q -m "device and not slow"
 
 python-test-slow:
 	$(PYTHON) -m pytest tests/ -x -q -m "slow"

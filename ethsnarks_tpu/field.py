@@ -12,9 +12,27 @@ LSB-first '0'/'1' strings instead of ``bitstring.BitArray``.
 
 from math import ceil, log2
 from os import urandom
-from collections import defaultdict
+from collections import Counter
 
 from .numbertheory import square_root_mod_prime
+
+
+class _OpCounter(object):
+    """Operation-count profiler backing ``FQ._COUNTS`` (API parity with the
+    reference's profiling hooks; used by the kernel-cost model tests)."""
+
+    __slots__ = ('tallies',)
+
+    def __init__(self):
+        self.tallies = Counter()
+
+    def bump(self, name):
+        self.tallies[name] += 1
+
+    def report(self):
+        width = max((len(k) for k in self.tallies), default=0)
+        return "\n".join("%-*s = %d" % (width, k, self.tallies[k])
+                         for k in sorted(self.tallies))
 
 # Base field of Baby-JubJub == scalar field of BN254 (the R1CS field).
 SNARK_SCALAR_FIELD = 21888242871839275222246405745257275088548364400416034343698204186575808495617
@@ -36,11 +54,13 @@ class FQ(object):
 
     __slots__ = ('n', 'm')
 
+    # Profiling hooks (attribute/method names pinned for reference-API
+    # parity; implementation delegates to _OpCounter).
     _COUNTS = None
 
     @classmethod
     def _reset_counts(cls):
-        cls._COUNTS = defaultdict(int)
+        cls._COUNTS = _OpCounter()
 
     @classmethod
     def _disable_counting(cls):
@@ -48,25 +68,29 @@ class FQ(object):
 
     @classmethod
     def _count(cls, what):
-        if cls._COUNTS is not None:
-            cls._COUNTS[what] += 1
+        counter = cls._COUNTS
+        if counter is not None:
+            counter.bump(what)
 
     @classmethod
     def _print_counts(cls):
-        for k in sorted(cls._COUNTS.keys()):
-            print(k, "=", cls._COUNTS[k])
-        print()
+        print(cls._COUNTS.report() + "\n")
 
     def __init__(self, n, field_modulus=SNARK_SCALAR_FIELD):
         if isinstance(n, self.__class__):
             if n.m != field_modulus:
-                raise ValueError("Field modulus mismatch")
+                raise ValueError(
+                    "cannot wrap an element of a different field "
+                    "(moduli %d != %d)" % (n.m, field_modulus))
             self.m, self.n = n.m, n.n
             return
         if not isinstance(n, int):
-            raise ValueError("Invalid number type: " + str(type(n)))
+            raise ValueError(
+                "FQ value must be an int, got %s" % type(n).__name__)
         if not isinstance(field_modulus, int):
-            raise ValueError("Invalid modulus type: " + str(type(field_modulus)))
+            raise ValueError(
+                "field modulus must be an int, got %s"
+                % type(field_modulus).__name__)
         self.m = field_modulus
         self.n = n % field_modulus
 
@@ -74,11 +98,14 @@ class FQ(object):
         """Unwrap an operand to a plain int, enforcing field agreement."""
         if isinstance(other, FQ):
             if other.m != self.m:
-                raise RuntimeError("Other field element has different modulus")
+                raise RuntimeError(
+                    "mixed-field arithmetic: operand moduli differ "
+                    "(%d vs %d)" % (self.m, other.m))
             return other.n
         if not isinstance(other, int):
             raise RuntimeError(
-                "Not a valid value type: " + str(type(other).__name__))
+                "operand must be an int or FQ, got %s"
+                % type(other).__name__)
         return other
 
     def __int__(self):

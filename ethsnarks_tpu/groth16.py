@@ -37,6 +37,22 @@ def _digit_extract_jit(c):
     return run
 
 
+@lru_cache(maxsize=None)
+def _digit_extract_pad_jit(c, pad_to):
+    """Digit extraction + zero-pad of the batch axis to pad_to columns
+    (the mesh prover's common G1 pad; zero digits hit identity points)."""
+    import jax
+    import jax.numpy as jnp
+    from .ops import msm as msm_ops
+
+    @jax.jit
+    def run(wl, idx):
+        d = msm_ops.window_digits_device(jnp.take(wl, idx, axis=1), c)
+        return jnp.pad(d, ((0, 0), (0, pad_to - idx.shape[0])))
+
+    return run
+
+
 from .field import SNARK_SCALAR_FIELD
 from .qap import QAP
 from . import bn254
@@ -264,40 +280,65 @@ class ProverContext(object):
         from .ops import msm as msm_ops
         from .ops.fp import Fr
         from .ops.msm_red import best_c
-        from .parallel.msm_red_sharded import ShardedRedMSM
+        from .parallel.msm_red_sharded import get_sharded_msm
         from .parallel.qap_sharded import ShardedWitnessMap
         pk = self.pk
         mesh = self.mesh
         n_dev = int(np.prod(mesh.devices.shape))
 
-        def make(query_pts, g2):
+        # ONE executable serves all three G1 queries: A/L/H are padded to a
+        # common length so get_sharded_msm returns the same compiled
+        # ShardedRedMSM (compile economy - a cold 8-device mesh otherwise
+        # builds four distinct shard_map MSM programs; identity-padding the
+        # shorter queries costs a few permille of per-shard work).  The G2
+        # B query keeps its own (Fq2) executable.
+        g1_lens = (len(pk.a_query), len(pk.l_query),
+                   len(pk.h_query_bitrev))
+        b_common = max(n_dev, -(-max(g1_lens) // n_dev) * n_dev)
+        assert b_common % len(pk.h_query_bitrev) == 0 or \
+            b_common >= len(pk.h_query_bitrev), "pow2 H domain fits pad"
+
+        def make(query_pts, g2, b_pad=None):
             pts = list(query_pts)
-            b_pad = max(n_dev, -(-len(pts) // n_dev) * n_dev)
+            if b_pad is None:
+                b_pad = max(n_dev, -(-len(pts) // n_dev) * n_dev)
             pts = pts + [None] * (b_pad - len(pts))   # identity padding
             c = (self.config.multi_exp_c
                  or best_c(max(2, b_pad // n_dev)))
             lanes = (self.config.msm_max_lanes
                      or (1 << 22 if g2 else 1 << 23))
-            msm = ShardedRedMSM(mesh, b_pad, c, g2=g2, max_lanes=lanes)
+            msm = get_sharded_msm(mesh, b_pad, c, g2=g2, max_lanes=lanes)
             red = (msm_red.g2_to_red if g2 else msm_red.g1_to_red)(pts)
             return msm, msm.shard_points(red), c, b_pad
 
         self._a_idx = np.array([i for i, _ in pk.a_query], dtype=np.int64)
         self._b_idx = np.array([i for i, _ in pk.b_query], dtype=np.int64)
         self._a_msm, self._a_pts, self._a_c, self._a_bpad = \
-            make([pt for _, pt in pk.a_query], False)
+            make([pt for _, pt in pk.a_query], False, b_common)
         self._b_msm, self._b_pts, self._b_c, self._b_bpad = \
             make([pt for _, pt in pk.b_query], True)
         self._l_msm, self._l_pts, self._l_c, self._l_bpad = \
-            make(pk.l_query, False)
+            make(pk.l_query, False, b_common)
         self._h_msm, self._h_pts, self._h_c, self._h_bpad = \
-            make(pk.h_query_bitrev, False)
-        assert self._h_bpad == len(pk.h_query_bitrev), \
-            "H query is a pow2 domain; mesh must divide it"
+            make(pk.h_query_bitrev, False, b_common)
+        assert self._h_bpad >= len(pk.h_query_bitrev), \
+            "H query must fit the common G1 pad"
         self._wm = ShardedWitnessMap(self.qap, mesh)
         c_h = self._h_c
+        h_pad = self._h_bpad - len(pk.h_query_bitrev)
         self._h_digit_fn = jax.jit(
-            lambda hm: msm_ops.window_digits_device(Fr.from_mont(hm), c_h))
+            lambda hm: jnp.pad(
+                msm_ops.window_digits_device(Fr.from_mont(hm), c_h),
+                ((0, 0), (0, h_pad))))
+        # Device-resident digit extraction for A/B/L (mesh analog of the
+        # single-chip msm_static_plan=True pipeline): ONE witness-limb
+        # upload per proof; column gathers + window extraction + padding
+        # happen on device, so no per-proof host digit matrices.
+        self._a_idx_dev_m = jnp.asarray(self._a_idx)
+        self._b_idx_dev_m = jnp.asarray(self._b_idx)
+        ni = pk.num_inputs
+        self._l_idx_dev_m = jnp.asarray(
+            np.arange(ni + 1, self.qap.num_variables, dtype=np.int64))
         self._device_keys = True
 
     @staticmethod
@@ -456,30 +497,31 @@ class ProverContext(object):
         assert w[0] == 1
 
         if self.mesh is not None:
-            from .ops import msm as msm_ops
+            import jax.numpy as jnp
             from .ops.fp import Fr
             w_limbs = Fr.to_limbs_fast(w)
-            # sharded witness map -> H digits extracted on device (sharded)
-            h_mont = self._wm(Fr.to_mont_jit(w_limbs))
+            # ONE witness-limb upload feeds the sharded witness map AND
+            # the on-device digit extraction of every query (no per-proof
+            # host digit matrices - same economy as the single-chip
+            # msm_static_plan=True pipeline).
+            wl_dev = jnp.asarray(w_limbs)
+            h_mont = self._wm(Fr.to_mont_jit(wl_dev))
             h_digits = self._h_digit_fn(h_mont)
             h_eval = self._h_msm.call_device(self._h_pts, h_digits)
-            a_digits = self._pad_digit_cols(
-                msm_ops.window_digits_from_limbs_np(
-                    w_limbs[:, self._a_idx], self._a_c), self._a_bpad)
-            a_eval = self._a_msm(self._a_pts, a_digits)
-            b_digits = self._pad_digit_cols(
-                msm_ops.window_digits_from_limbs_np(
-                    w_limbs[:, self._b_idx], self._b_c), self._b_bpad)
-            b_eval = self._b_msm(self._b_pts, b_digits)
-            l_digits = self._pad_digit_cols(
-                msm_ops.window_digits_from_limbs_np(
-                    w_limbs[:, ni + 1:], self._l_c), self._l_bpad)
-            l_eval = self._l_msm(self._l_pts, l_digits)
+            a_digits = _digit_extract_pad_jit(self._a_c, self._a_bpad)(
+                wl_dev, self._a_idx_dev_m)
+            a_eval = self._a_msm.call_device(self._a_pts, a_digits)
+            b_digits = _digit_extract_pad_jit(self._b_c, self._b_bpad)(
+                wl_dev, self._b_idx_dev_m)
+            b_eval = self._b_msm.call_device(self._b_pts, b_digits)
+            l_digits = _digit_extract_pad_jit(self._l_c, self._l_bpad)(
+                wl_dev, self._l_idx_dev_m)
+            l_eval = self._l_msm.call_device(self._l_pts, l_digits)
         elif not self.use_device_msm:
-            from .ops.fp import Fr
-            h_bitrev_mont = self.qap.witness_map_device(w)
-            h_bitrev = Fr.from_limbs(
-                np.asarray(Fr.from_mont_jit(h_bitrev_mont)))
+            # fully host-side prove: exact bigint witness map, no XLA
+            # program anywhere (compile economy for CI boxes and the
+            # dryrun's single-chip comparison prover)
+            h_bitrev = self.qap.witness_map_host(w)
             a_pairs = [(w[i], pt) for i, pt in pk.a_query]
             b_pairs = [(w[i], pt) for i, pt in pk.b_query]
             h_pairs = [(h_bitrev[p], pt)

@@ -151,6 +151,35 @@ def _shifted(rows, i, total):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
+@lru_cache(maxsize=None)
+def _shear_idx_np(k2):
+    """(RL, k2) gather indices: sheared[i, k] = prod[i, (k - i) mod k2]."""
+    return ((np.arange(k2)[None, :] - np.arange(RL)[:, None]) % k2
+            ).astype(np.int32)
+
+
+def _acc_cols_lean(ai, bj, k2):
+    """sum_i _shifted(ai[i] * bj, i, k2) with ~100x fewer HLO ops.
+
+    The schoolbook column accumulation is an anti-diagonal sum of the
+    digit outer product.  The unrolled concat chain emits ~850 StableHLO
+    ops per field mul, which makes every inlined point-formula body huge -
+    XLA:CPU spends tens of minutes optimizing MSM pipelines built from
+    them.  This form is ONE broadcast multiply + ONE static gather (a
+    per-row circular shear; no wraparound reaches a live column) + ONE
+    reduce: identical int32 sums (wrapping add is associative and
+    commutative), so results are bit-exact vs the unrolled form.  Not
+    Mosaic-safe (2-D gather): only used on the engine='xla' path."""
+    prod = ai[:, None] * bj[None, :RL]            # (RL, RL, *batch)
+    pad = [(0, 0), (0, k2 - RL)] + [(0, 0)] * (prod.ndim - 2)
+    prod = jnp.pad(prod, pad)
+    idx = jnp.asarray(_shear_idx_np(k2)).reshape(
+        (RL, k2) + (1,) * (prod.ndim - 2))
+    sheared = jnp.take_along_axis(
+        prod, jnp.broadcast_to(idx, prod.shape), axis=1)
+    return sheared.sum(axis=0)                    # (k2, *batch)
+
+
 def relax_keep(t):
     """One relax pass preserving the exact value: digits 0..K-2 masked to
     [0, 4095], carries move up one row, the TOP row stays unmasked and
@@ -170,13 +199,21 @@ def relax_mod(t):
     return r + _shift_up(c)
 
 
-def mk_red_ops(consts):
+def mk_red_ops(consts, engine='mosaic'):
     """Field-op closures over a packed (L, 8) int32 constants block.
 
     `consts` may be a numpy array (host/jit use) or an in-kernel VMEM load.
     Ops take/return (L, *batch) int32 digit arrays and assume "standard"
     digit bounds on inputs (see module docstring); every op returns standard
-    digits.  All ops are value-exact mod N (redundant representation)."""
+    digits.  All ops are value-exact mod N (redundant representation).
+
+    engine='mosaic' (default): column accumulations in rmul unroll into
+    concat chains (the only Mosaic-legal form; used inside Pallas kernels).
+    engine='xla': the same sums via :func:`_acc_cols_lean` - bit-identical
+    values, ~100x smaller HLO (used by the jit fallback path so XLA:CPU
+    compiles in seconds instead of tens of minutes)."""
+    assert engine in ('mosaic', 'xla')
+    lean = engine == 'xla'
     n_col = consts[:, 0:1]
     np_col = consts[:, 1:2]
     rho_col = consts[:, 2:3]
@@ -223,22 +260,33 @@ def mk_red_ops(consts):
         rho = reshape_const(rho_col, nd)
         K2 = 2 * RL - 1     # 43 product columns
 
-        # T = a*b (43 lazy columns)
-        cols = _shifted(a[0] * b, 0, K2)
-        for i in range(1, RL):
-            cols = cols + _shifted(a[i] * b, i, K2)
+        if lean:
+            # Same column sums via outer-product shear (bit-exact; see
+            # _acc_cols_lean).  The m-path computes the discarded high
+            # columns too and slices - value over columns < RL identical.
+            cols = _acc_cols_lean(a, jnp.broadcast_to(b, a.shape), K2)
+            tlo = relax_mod(relax_mod(cols[:RL]))
+            m = relax_mod(relax_mod(_acc_cols_lean(
+                tlo, jnp.broadcast_to(npr, a.shape), K2)[:RL]))
+            u = cols + _acc_cols_lean(
+                m, jnp.broadcast_to(n, a.shape), K2)
+        else:
+            # T = a*b (43 lazy columns)
+            cols = _shifted(a[0] * b, 0, K2)
+            for i in range(1, RL):
+                cols = cols + _shifted(a[i] * b, i, K2)
 
-        # m = (T mod R) * N' mod R  (digit-relaxed mod R)
-        tlo = relax_mod(relax_mod(cols[:RL]))
-        mcols = _shifted(tlo[0] * npr, 0, RL)
-        for i in range(1, RL):
-            mcols = mcols + _shifted(tlo[i] * npr[:RL - i], i, RL)
-        m = relax_mod(relax_mod(mcols))
+            # m = (T mod R) * N' mod R  (digit-relaxed mod R)
+            tlo = relax_mod(relax_mod(cols[:RL]))
+            mcols = _shifted(tlo[0] * npr, 0, RL)
+            for i in range(1, RL):
+                mcols = mcols + _shifted(tlo[i] * npr[:RL - i], i, RL)
+            m = relax_mod(relax_mod(mcols))
 
-        # U = T + m*N;  result = U >> 264 plus the low-half carry.
-        u = cols + _shifted(m[0] * n, 0, K2)
-        for i in range(1, RL):
-            u = u + _shifted(m[i] * n, i, K2)
+            # U = T + m*N;  result = U >> 264 plus the low-half carry.
+            u = cols + _shifted(m[0] * n, 0, K2)
+            for i in range(1, RL):
+                u = u + _shifted(m[i] * n, i, K2)
 
         lo = u[:RL]
         lo_c = lo >> RB

@@ -229,7 +229,7 @@ def _g1_add_red_dev(consts, p, q):
     if use_pallas():
         b = p[0].shape[1]
         return _g1_add_kernel_red(b, _pick_tile(b))(consts, *p, *q)
-    ops = mk_red_ops(consts)
+    ops = mk_red_ops(consts, engine='xla')
     return g1_add_red(ops, p, q)
 
 
@@ -240,7 +240,7 @@ def _g2_add_red_dev(consts, b3, p, q):
                   q[0][0], q[0][1], q[1][0], q[1][1], q[2][0], q[2][1]]
         o = _g2_add_kernel_red(b, _pick_tile(b))(consts, b3, *leaves)
         return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
-    ops = mk_red_ops(consts)
+    ops = mk_red_ops(consts, engine='xla')
     b3p = (b3[:, 0:1], b3[:, 1:2])
     return g2_add_red(ops, b3p, p, q)
 
@@ -323,7 +323,7 @@ def _padded_dbl(consts, b3, p, g2):
         else:
             r = _g1_double_kernel_red(wt, _pick_tile(wt))(consts, *p)
     else:
-        ops = mk_red_ops(consts)
+        ops = mk_red_ops(consts, engine='xla')
         if g2:
             b3p = (b3[:, 0:1], b3[:, 1:2])
             r = g2_double_red(ops, b3p, p)
@@ -568,7 +568,7 @@ def _horner_ref(consts, w128, c, n_win, g2=False, b3=None):
     one add): a python unroll emits n_win*(c+1) point-formula graphs -
     ~10^6 HLO ops at prover shapes - which XLA:CPU compiles for tens of
     minutes.  The pallas TPU path uses the compact in-kernel Horner."""
-    ops = mk_red_ops(consts)
+    ops = mk_red_ops(consts, engine='xla')
     if g2:
         b3p = (b3[:, 0:1], b3[:, 1:2])
         addf = lambda p, q: g2_add_red(ops, b3p, p, q)
@@ -736,7 +736,7 @@ def _double_n_add(consts, b3, p_leaves, q_leaves, n_doubles, g2):
                 consts, b3, *(p_leaves + q_leaves)))
         return list(_k_double_n_add_red(n_doubles)(
             consts, *(p_leaves + q_leaves)))
-    ops = mk_red_ops(consts)
+    ops = mk_red_ops(consts, engine='xla')
     # fori_loop, not a python unroll: n_doubles is c*tail_start (can be
     # 200+), and an unrolled graph takes XLA:CPU tens of minutes to compile
     if g2:
@@ -761,6 +761,66 @@ def _ident_table_np(g2):
     y0_row = 2 * RL if g2 else RL
     ident_np[y0_row:y0_row + RL, 0] = _one_red_col()[:, 0]
     return ident_np
+
+
+def _msm_scan_accum(points, digits, b, c, g2):
+    """Exact scan-accumulate Pippenger for SMALL batches off-TPU.
+
+    Sequentially folds each point into bucket digit[w, i] of every window
+    with ONE complete-add body under lax.scan (buckets (RL, nw, 2^c); the
+    gather/scatter per step touches one bucket per window), then the usual
+    pairfold + window Horner.  No sort, no dense gather, no capacity
+    planning - and therefore NO overflow/replan path: exact for any digit
+    distribution (digits must only honor the < 2^c row contract).
+
+    Why it exists: the dense single-dispatch pipeline inlines ~25 point-
+    formula bodies whose XLA:CPU optimization takes minutes per MSM
+    executable - a cold 8-device dryrun on a 2-core CI box blows the
+    driver budget (MULTICHIP_r03 rc=124).  This variant compiles in
+    seconds.  Runtime is O(b * nw) sequential lane-adds, so it only makes
+    sense for small per-shard batches (the virtual-mesh dryrun, CI tests);
+    the TPU production path keeps the dense pipeline + Pallas kernels.
+
+    Returns (nested (RL, 1) coords, ovf=False scalar)."""
+    nw = digits.shape[0]
+    n_buckets = 1 << c
+    consts = jnp.asarray(_g1_consts_red())
+    b3 = jnp.asarray(_g2_b3_red()) if g2 else None
+    ops = mk_red_ops(consts, engine='xla')
+    if g2:
+        b3p = (b3[:, 0:1], b3[:, 1:2])
+        addf = lambda p, q: g2_add_red(ops, b3p, p, q)
+    else:
+        addf = lambda p, q: g1_add_red(ops, p, q)
+
+    def cmap(f, p):
+        if g2:
+            return tuple((f(a[0]), f(a[1])) for a in p)
+        return tuple(f(a) for a in p)
+
+    zero = jnp.zeros((RL, nw, n_buckets), jnp.int32)
+    onec = zero + jnp.asarray(_one_red_col())[:, :, None]
+    buckets0 = (((zero, zero), (onec, zero), (zero, zero)) if g2
+                else (zero, onec, zero))
+    warr = jnp.arange(nw, dtype=jnp.int32)
+    pts_cols = cmap(lambda a: jnp.moveaxis(a, 0, 1), points)  # (b, RL)
+    dcols = digits.T.astype(jnp.int32)                        # (b, nw)
+
+    def step(buckets, x):
+        dcol, pcols = x
+        cur = cmap(lambda a: a[:, warr, dcol], buckets)       # (RL, nw)
+        pt = cmap(lambda a: jnp.broadcast_to(a[:, None], (RL, nw)), pcols)
+        new = addf(cur, pt)
+        buckets = jax.tree_util.tree_map(
+            lambda bk, nv: bk.at[:, warr, dcol].set(nv), buckets, new)
+        return buckets, None
+
+    buckets, _ = jax.lax.scan(step, buckets0, (dcols, pts_cols))
+    dense = cmap(lambda a: a.reshape(RL, nw * n_buckets), buckets)
+    folded = _pairfold_ref(consts, b3, dense, c, nw, g2)
+    res = _horner_ref(consts, _nest(folded, g2), c, nw, g2=g2, b3=b3)
+    out = _nest([a[:, :1] for a in _leaves(res, g2)], g2)
+    return out, jnp.bool_(False)
 
 
 def _msm_dense_traced(points, digits_main, digits_tail, b, c, g2, main_nw,

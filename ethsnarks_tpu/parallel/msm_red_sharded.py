@@ -3,9 +3,20 @@
 MSM is additive over point partitions, so each device runs the FULL
 single-dispatch dense red pipeline (:func:`ops.msm_red._msm_dense_traced`:
 composite-key sort -> dense gather -> halving tree -> pairfold -> window
-Horner, on the signed redundant-digit field core) on its local point shard,
-then the n_dev partial points are all-gathered over ICI and tree-combined
-with ~log2(n_dev) complete additions - negligible vs the per-shard work.
+Horner, on the signed redundant-digit field core) on its local point shard.
+The n_dev partial points are then combined one of two ways, selected by the
+``combine`` flag:
+
+- ``'device'`` (default on real TPU meshes): the 6 (or 12, G2) tiny
+  (RL, 1) leaf planes are ``all_gather``-ed over ICI inside the shard_map
+  body and folded with n_dev-1 complete additions on device - no host
+  readback beyond the final point.
+- ``'host'`` (default on CPU/virtual meshes): per-shard partials return to
+  the host and are folded there.  This exists because XLA:CPU kills a
+  rendezvous collective when oversubscribed virtual shards reach it >40s
+  apart (8 shards time-sharing 2 CI cores) - the heavy per-shard pipeline
+  in front of the collective makes that a real hazard, so virtual meshes
+  trade one tiny readback for robustness.
 
 This is the TPU-native replacement for the reference's OpenMP-chunked
 multi-exp (/root/reference/src/prover_config.hpp:57-85 get_cpu_ranges +
@@ -28,9 +39,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import msm_red
 from ..ops.msm_red import (
-    RL, _msm_dense_traced, _leaves, _nest, _cmapf, _padded_add,
-    _g1_consts_red, _g2_b3_red, static_msm_plan, merge_top_window_np,
-    _pow2ceil)
+    RL, _msm_dense_traced, _msm_scan_accum, _leaves, _nest, _cmapf,
+    _padded_add, _g1_consts_red, _g2_b3_red, static_msm_plan,
+    merge_top_window_np, _pow2ceil, _validate_digit_contract)
 from .mesh import AXIS
 
 
@@ -62,7 +73,8 @@ class ShardedRedMSM:
     shard_map executable is built once and reused across calls (the
     prover's device-resident key shards stay put)."""
 
-    def __init__(self, mesh, b, c, g2=False, max_lanes=1 << 23):
+    def __init__(self, mesh, b, c, g2=False, max_lanes=1 << 23,
+                 combine='auto'):
         self.mesh = mesh
         self.n_dev = int(np.prod(mesh.devices.shape))
         assert b % self.n_dev == 0, (b, self.n_dev)
@@ -71,36 +83,73 @@ class ShardedRedMSM:
         self.c = c
         self.g2 = g2
         self.max_lanes = max_lanes
-        self.plan = static_msm_plan(self.b_local, c, max_lanes)
+        assert combine in ('auto', 'host', 'device')
+        platform = mesh.devices.flat[0].platform
+        if combine == 'auto':
+            combine = 'device' if platform == 'tpu' else 'host'
+        self.combine = combine
+        # Off-TPU small shards use the exact scan-accumulate pipeline: one
+        # point-formula body -> seconds of XLA:CPU compile instead of
+        # minutes (see ops.msm_red._msm_scan_accum), and no overflow /
+        # replan machinery at all.  The TPU production path keeps the
+        # dense single-dispatch pipeline + Pallas kernels.
+        self.scan_mode = (platform != 'tpu' and self.b_local <= 4096)
+        self.plan = (None if self.scan_mode
+                     else static_msm_plan(self.b_local, c, max_lanes))
+        self.nw_full = (254 + c - 1) // c
         self._fn = self._build(self.plan)
+        self._exact_plan = None
+        self._exact_fn = None
         self._dig_shard = NamedSharding(mesh, P(None, AXIS))
 
     def _build(self, plan):
         g2 = self.g2
         b_local, c = self.b_local, self.c
+        n_dev = self.n_dev
+        on_device = self.combine == 'device'
+
+        scan_mode = self.scan_mode
 
         def local(points, dm, dt):
-            res, ovf = _msm_dense_traced(
-                points, dm, dt, b_local, c, g2, plan['main_nw'],
-                plan['n_groups'], plan['main_k'], plan['tail_start'],
-                plan['tail_nw'], plan['tail_k'], plan['tc'])
-            # Return PER-SHARD partials; NO collective inside the body.
-            # EC addition is not psum-able over raw digit planes, and a
-            # rendezvous collective placed after the heavy per-shard
-            # pipeline deadlocks oversubscribed virtual-device meshes
-            # (XLA:CPU kills the program when shards reach the rendezvous
-            # >40s apart - 8 shards time-share 2 cores in CI).  The n_dev
-            # partials are a few hundred bytes; the driver combines them
-            # on the host (exact, one tunnel readback).
+            if scan_mode:
+                res, ovf = _msm_scan_accum(points, dm, b_local, c, g2)
+            else:
+                res, ovf = _msm_dense_traced(
+                    points, dm, dt, b_local, c, g2, plan['main_nw'],
+                    plan['n_groups'], plan['main_k'], plan['tail_start'],
+                    plan['tail_nw'], plan['tail_k'], plan['tc'])
+            if on_device:
+                # Real-hardware path: all_gather the 6 (12, G2) tiny
+                # (RL, 1) leaf planes over ICI and fold with n_dev-1
+                # complete additions; every shard computes the identical
+                # replicated result (one final point, no host combine).
+                gathered = [
+                    lax.all_gather(x, AXIS, axis=1, tiled=True)
+                    for x in _leaves(res, g2)]
+                consts = jnp.asarray(_g1_consts_red())
+                b3 = jnp.asarray(_g2_b3_red()) if g2 else None
+                p = _nest(tuple(x[:, :1] for x in gathered), g2)
+                for d in range(1, n_dev):
+                    q = _nest(tuple(x[:, d:d + 1] for x in gathered), g2)
+                    p = _padded_add(consts, b3, p, q, g2)
+                return tuple(_leaves(p, g2)), ovf[None].astype(jnp.int32)
+            # Host-combine path: return PER-SHARD partials; NO collective
+            # in the body.  A rendezvous collective placed after the heavy
+            # per-shard pipeline deadlocks oversubscribed virtual-device
+            # meshes (XLA:CPU kills the program when shards reach the
+            # rendezvous >40s apart - 8 shards time-share 2 cores in CI).
+            # The n_dev partials are a few hundred bytes; the driver
+            # combines them on the host (exact, one tunnel readback).
             return tuple(_leaves(res, g2)), ovf[None].astype(jnp.int32)
 
+        n_leaves = 6 if g2 else 3
         if g2:
             pair = (P(None, AXIS), P(None, AXIS))
             pts_spec = (pair,) * 3
-            out_leaves = (P(None, AXIS),) * 6
         else:
             pts_spec = (P(None, AXIS),) * 3
-            out_leaves = (P(None, AXIS),) * 3
+        leaf_spec = P(None, None) if on_device else P(None, AXIS)
+        out_leaves = (leaf_spec,) * n_leaves
         fn = jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(pts_spec, P(None, AXIS), P(None, AXIS)),
@@ -116,9 +165,10 @@ class ShardedRedMSM:
                       self.g2)
 
     def _combine_host(self, leaves):
-        """Per-shard partial points ((RL, n_dev) planes) -> one host
-        affine point (n_dev complete adds on the host - exact and
-        negligible next to the per-shard pipelines)."""
+        """Leaf planes -> one host affine point.  Host-combine mode hands
+        (RL, n_dev) per-shard partials (n_dev complete adds here);
+        device-combine mode hands the already-folded (RL, 1) result
+        (the loop below degenerates to one conversion)."""
         from ..bn254 import add as host_add
         res = _nest(leaves, self.g2)
         from_dev = msm_red.g2_from_red if self.g2 else msm_red.g1_from_red
@@ -127,14 +177,36 @@ class ShardedRedMSM:
             out = host_add(out, p)
         return out
 
+    def _run_plan(self, points_red, digits, plan, fn):
+        dm, dt = merge_top_window_np(digits, self.c, plan)
+        return fn(
+            points_red, jax.device_put(jnp.asarray(dm), self._dig_shard),
+            jax.device_put(jnp.asarray(dt), self._dig_shard))
+
     def __call__(self, points_red, digits):
         """digits: (ceil(254/c), b) uint32 digit rows (host numpy or
         device); returns a host affine point (None = infinity)."""
         digits = np.asarray(digits)
-        dm, dt = merge_top_window_np(digits, self.c, self.plan)
-        leaves, ovf = self._fn(
-            points_red, jax.device_put(jnp.asarray(dm), self._dig_shard),
-            jax.device_put(jnp.asarray(dt), self._dig_shard))
+        # Same host safeguards as the single-chip _dense_red_driver:
+        # out-of-contract digits raise instead of silently corrupting.
+        _validate_digit_contract(digits, self.c)
+        if self.scan_mode:
+            # exact for any distribution; no merge, no overflow, no replan
+            leaves, _ = self._fn(
+                points_red,
+                jax.device_put(jnp.asarray(digits), self._dig_shard),
+                jax.device_put(
+                    jnp.zeros((1, self.b), jnp.uint32), self._dig_shard))
+            return self._combine_host(leaves)
+        if self._exact_fn is not None:
+            # a previous call overflowed the static plan; the cached exact
+            # executable covers at least that distribution - try it first
+            leaves, ovf = self._run_plan(points_red, digits,
+                                         self._exact_plan, self._exact_fn)
+            if int(np.asarray(ovf).max()) == 0:
+                return self._combine_host(leaves)
+        leaves, ovf = self._run_plan(points_red, digits, self.plan,
+                                     self._fn)
         if int(np.asarray(ovf).max()) > 0:
             # static plan undershot: replan with exact per-shard capacities
             merged_digits = self._merged(digits)
@@ -145,15 +217,24 @@ class ShardedRedMSM:
                     "sharded MSM capacity overflow (plan bug)")
             plan = static_msm_plan(self.b_local, self.c, self.max_lanes,
                                    ks=exact)
+            if (1 << self.c) * plan['main_k'] > (1 << 26) or \
+                    (plan['tail_nw'] and
+                     (1 << plan['tc']) * plan['tail_k'] > (1 << 26)):
+                raise ValueError(
+                    "sharded MSM exact replan needs a %d x %d dense gather "
+                    "(> 2^26 lanes); the scalar distribution is too skewed "
+                    "for window bits c=%d - lower c or route the skewed "
+                    "scalars (e.g. all-ones bit decompositions) through a "
+                    "point sum" % (1 << self.c, plan['main_k'], self.c))
             fn = self._build(plan)
-            dm, dt = merge_top_window_np(digits, self.c, plan)
-            leaves, ovf = fn(
-                points_red,
-                jax.device_put(jnp.asarray(dm), self._dig_shard),
-                jax.device_put(jnp.asarray(dt), self._dig_shard))
+            leaves, ovf = self._run_plan(points_red, digits, plan, fn)
             if int(np.asarray(ovf).max()) > 0:
                 raise AssertionError(
                     "sharded MSM capacity overflow after exact replan")
+            # cache: later calls with the same skewed distribution reuse
+            # the compiled exact executable instead of failing the static
+            # plan and recompiling every proof
+            self._exact_plan, self._exact_fn = plan, fn
         return self._combine_host(leaves)
 
     def _merged(self, digits):
@@ -167,6 +248,12 @@ class ShardedRedMSM:
         reshardable): merge/split happen as traced jnp ops so the digits
         never cross to the host (the prover's H query).  Falls back to the
         host replan path on overflow."""
+        if self.scan_mode:
+            leaves, _ = self._fn(
+                points_red, digits_dev,
+                jax.device_put(
+                    jnp.zeros((1, self.b), jnp.uint32), self._dig_shard))
+            return self._combine_host(leaves)
         plan = self.plan
         d = digits_dev
         if plan['merged']:
@@ -189,9 +276,15 @@ class ShardedRedMSM:
 _CACHE = {}
 
 
-def get_sharded_msm(mesh, b, c, g2=False, max_lanes=1 << 23):
-    """Cached ShardedRedMSM per (mesh, b, c, group, lane budget)."""
-    key = (id(mesh), b, c, g2, max_lanes)
+def get_sharded_msm(mesh, b, c, g2=False, max_lanes=1 << 23,
+                    combine='auto'):
+    """Cached ShardedRedMSM per (mesh, b, c, group, lane budget, combine).
+
+    Keyed on the Mesh object itself (hashable), not id(mesh) - ids are
+    reused after garbage collection and would hand back an executable
+    bound to a dead mesh."""
+    key = (mesh, b, c, g2, max_lanes, combine)
     if key not in _CACHE:
-        _CACHE[key] = ShardedRedMSM(mesh, b, c, g2=g2, max_lanes=max_lanes)
+        _CACHE[key] = ShardedRedMSM(mesh, b, c, g2=g2,
+                                    max_lanes=max_lanes, combine=combine)
     return _CACHE[key]

@@ -21,21 +21,32 @@ N_WINDOWS_PER_BASEPOINT = 62
 _basepoint_cache = {}
 
 
+def _p13n_string(name, seq):
+    """32-byte personalization string b"%-28s%04X": the name padded to a
+    28-char namespace plus a 4-hex-digit segment sequence number (layout
+    pinned by the reference's basepoint scheme - changing it changes every
+    Pedersen hash)."""
+    if isinstance(name, str):
+        name = name.encode('ascii')
+    elif not isinstance(name, bytes):
+        raise TypeError(
+            "personalization name must be str or bytes, got %s"
+            % type(name).__name__)
+    if len(name) > 28:
+        raise ValueError("personalization name exceeds the 28-byte field")
+    if not 0 <= seq <= 0xFFFF:
+        raise ValueError(
+            "basepoint sequence %r outside the 4-hex-digit field" % (seq,))
+    return b"%-28s%04X" % (name, seq)
+
+
 def pedersen_hash_basepoint(name, i):
     """Personalized basepoint: HashToPoint over the 32-byte p13n string."""
-    if not isinstance(name, bytes):
-        if isinstance(name, str):
-            name = name.encode('ascii')
-        else:
-            raise TypeError("Name not bytes")
-    if i < 0 or i > 0xFFFF:
-        raise ValueError("Sequence number invalid")
-    if len(name) > 28:
-        raise ValueError("Name too long")
-    key = (name, i)
+    key = (bytes(name) if isinstance(name, (bytes, bytearray))
+           else name, i)
     if key not in _basepoint_cache:
-        data = b"%-28s%04X" % (name, i)
-        _basepoint_cache[key] = Point.from_hash(data).as_etec()
+        _basepoint_cache[key] = Point.from_hash(
+            _p13n_string(name, i)).as_etec()
     return _basepoint_cache[key]
 
 

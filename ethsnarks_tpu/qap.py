@@ -112,6 +112,97 @@ class QAP(object):
         w = Fr.to_mont_jit(witness_limbs)
         return self._witness_map_jit(w)
 
+    # ------------- host witness map (exact, compile-free) -------------
+
+    def witness_map_host(self, witness_values):
+        """Exact Python-int mirror of :meth:`_witness_map`: sparse matvec +
+        input-consistency rows + the 7-transform coset-NTT pipeline, all on
+        host bigints.  Returns the H coefficients (bit-reversed order) as a
+        list of ints - identical values to the device path.
+
+        Used by the host prover (``use_device_msm=False``) so a purely
+        host-side prove never compiles an XLA program (the device witness
+        map is a multi-minute cold compile on small CPU boxes)."""
+        w = [int(v) % P for v in witness_values]
+        m = self.domain_size
+        d = self.domain
+        k = d.m.bit_length() - 1
+
+        evals = {}
+        for name in ('a', 'b', 'c'):
+            rows, cols, coeffs = self._coo_host[name]
+            e = [0] * m
+            for r, c, v in zip(rows, cols, coeffs):
+                e[int(r)] = (e[int(r)] + int(v) * w[int(c)]) % P
+            evals[name] = e
+        n = self.num_constraints
+        for j in range(self.num_inputs + 1):
+            evals['a'][n + j] = (evals['a'][n + j] + w[j]) % P
+
+        # Integer twiddles (the domain caches Montgomery limb planes only).
+        tw_fwd, tw_inv = [], []
+        for s in range(k):
+            span = m >> s
+            w_n = pow(d.omega, m // span, P)
+            w_i = pow(d.omega_inv, m // span, P)
+            fwd, inv, af, ai = [], [], 1, 1
+            for _ in range(span // 2):
+                fwd.append(af)
+                inv.append(ai)
+                af = af * w_n % P
+                ai = ai * w_i % P
+            tw_fwd.append(fwd)
+            tw_inv.append(inv)
+
+        def dif(x, tw):
+            """Natural -> bitrev (mirror of NttDomain._dif)."""
+            for s in range(k):
+                span = m >> s
+                half = span // 2
+                for b0 in range(0, m, span):
+                    for j in range(half):
+                        u, v = x[b0 + j], x[b0 + j + half]
+                        x[b0 + j] = (u + v) % P
+                        x[b0 + j + half] = (u - v) * tw[s][j] % P
+            return x
+
+        def dit(x, tw):
+            """Bitrev -> natural (mirror of NttDomain._dit)."""
+            for s in range(k - 1, -1, -1):
+                span = m >> s
+                half = span // 2
+                for b0 in range(0, m, span):
+                    for j in range(half):
+                        t = x[b0 + j + half] * tw[s][j] % P
+                        u = x[b0 + j]
+                        x[b0 + j] = (u + t) % P
+                        x[b0 + j + half] = (u - t) % P
+            return x
+
+        m_inv = d.m_inv
+        g = d.coset_gen
+        bitrev = d.bitrev
+        g_brev = [pow(g, int(i), P) for i in bitrev]
+        g_brev_inv = [pow(g, -int(i), P) for i in bitrev]
+        z_inv = pow((pow(g, m, P) - 1) % P, -1, P)
+
+        def ifft_bitrev(e):
+            return [v * m_inv % P for v in dif(list(e), tw_inv)]
+
+        def coset_fft(cb):
+            return dit([c * s % P for c, s in zip(cb, g_brev)], tw_fwd)
+
+        cA = ifft_bitrev(evals['a'])
+        cB = ifft_bitrev(evals['b'])
+        cC = ifft_bitrev(evals['c'])
+        eA = coset_fft(cA)
+        eB = coset_fft(cB)
+        eC = coset_fft(cC)
+        h_evals = [(a * b - c) % P * z_inv % P
+                   for a, b, c in zip(eA, eB, eC)]
+        x = [v * m_inv % P for v in dif(h_evals, tw_inv)]
+        return [v * s % P for v, s in zip(x, g_brev_inv)]
+
     # ------------- host instance map (setup time, exact) -------------
 
     def instance_map(self, t):

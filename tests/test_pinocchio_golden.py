@@ -75,7 +75,9 @@ class TestJsnarkHarness(unittest.TestCase):
 
     def _run(self, x, y, secret):
         reader = CircuitReader(self.CIRCUIT)
-        reader.set_inputs("0=%d\n1=%d\n2=%d" % (x, y, secret))
+        # set_inputs parses hex by default (reference parity) - format
+        # with %x so multi-digit values keep their intended meaning
+        reader.set_inputs("0=%x\n1=%x\n2=%x" % (x, y, secret))
         outputs = reader.eval()
         cs, w2v = reader.build_constraint_system()
         reader.fill_witness(cs, w2v)
