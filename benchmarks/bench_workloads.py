@@ -103,11 +103,138 @@ def bench_merkle():
             "vs_baseline": round((B / dt) / 50000.0, 4)}
 
 
+def bench_eddsa16k():
+    """EdDSA+Pedersen verify, batch 16k (BASELINE config row 3).
+
+    256 DISTINCT host-signed messages tiled x64 (cf. bench.py's distinct-
+    point rule: values are runtime data, so tiling keeps per-lane compute
+    honest while host signing stays tractable).  Host prep (bit unpack,
+    point conversion) is one-time and excluded; the timed region is the
+    jitted full verify (fixed-base s*B, batched Pedersen RAM hash,
+    variable-base t*A, projective compare) including a device round-trip.
+    vs_baseline anchor: 2e3 verifies/s, an order-of-magnitude multicore-
+    CPU rate for C++ EdDSA open (reference eddsa_open builds a throwaway
+    protoboard per signature - far slower; anchor is deliberately the
+    stronger plain-crypto rate)."""
+    import pickle
+    from ethsnarks_tpu.eddsa import PureEdDSA
+    from ethsnarks_tpu.ops import eddsa_ops
+    from ethsnarks_tpu.ops import jubjub_ops as jj
+
+    B, n_base = 16384, 256
+    cache = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    ckpt = os.path.join(cache, "eddsa_%d.pkl" % n_base)
+    if os.path.exists(ckpt):
+        with open(ckpt, 'rb') as fh:
+            batch = pickle.load(fh)
+    else:
+        rng = np.random.default_rng(99)
+        batch = []
+        for i in range(n_base):
+            k, A = PureEdDSA.random_keypair()
+            msg = bytes(int(x) for x in rng.integers(0, 256, 32))
+            sm = PureEdDSA.sign(msg, k)
+            batch.append((A, (sm.sig.R, int(sm.sig.s)), msg))
+        with open(ckpt, 'wb') as fh:
+            pickle.dump(batch, fh)
+
+    reps_tile = B // n_base
+    As = [b[0] for b in batch] * reps_tile
+    sigs = [b[1] for b in batch] * reps_tile
+    msgs = [b[2] for b in batch] * reps_tile
+
+    # one-time host prep (mirrors eddsa_verify_batch, which is the public
+    # API pinned by tests/test_ops_jubjub.py)
+    a_dev = jj.point_to_device(As)
+    r_dev = jj.point_to_device([s[0] for s in sigs])
+    s_bits = np.zeros((254, B), dtype=np.uint32)
+    for b, sig in enumerate(sigs):
+        s = int(sig[1])
+        for i in range(254):
+            s_bits[i, b] = (s >> i) & 1
+    msg_bits = eddsa_ops._msg_bits_device(msgs)
+    sb = jnp.asarray(s_bits)
+    mb = jnp.asarray(msg_bits)
+    fn = eddsa_ops._eddsa_verify_jit
+    ok = np.asarray(fn(a_dev, r_dev, sb, mb))
+    assert ok.all(), "eddsa16k: a valid signature failed device verify"
+    dt = _time(fn, a_dev, r_dev, sb, mb)
+    return {"metric": "eddsa_verifies_per_sec", "value": round(B / dt, 1),
+            "unit": "verify/s (PureEdDSA+Pedersen, batch %d, %s)" % (
+                B, jax.default_backend()),
+            "vs_baseline": round((B / dt) / 2000.0, 4)}
+
+
+def bench_sha256_preimage():
+    """SHA256-preimage Groth16 prove (~55k constraints, BASELINE config
+    row 4): private 512-bit preimage, public digest packed into two field
+    elements, sha256_full_gadget_512 circuit, end-to-end device prove.
+    vs_baseline anchor: 1e5 constraints/s, an order-of-magnitude multicore
+    libsnark/mcl prover rate (BASELINE.md publishes no absolute number)."""
+    import hashlib
+    import pickle
+    from ethsnarks_tpu.r1cs import ConstraintSystem
+    from ethsnarks_tpu.gadgets import sha256_full_gadget_512
+    from ethsnarks_tpu.groth16 import generator, ProverContext
+
+    data = bytes(range(64))
+    digest = hashlib.sha256(data).digest()
+    pb = ConstraintSystem()
+    d_hi = pb.allocate('digest_hi')
+    d_lo = pb.allocate('digest_lo')
+    pb.set_input_sizes(2)
+    in_bits = pb.allocate_array(512, 'preimage')
+    g = sha256_full_gadget_512(pb, in_bits, 'sha')
+    g.generate_r1cs_constraints()
+    res = g.result()                     # 256 bits, MSB first
+    lc_hi = sum(b * (1 << (127 - i)) for i, b in enumerate(res[:128]))
+    lc_lo = sum(b * (1 << (127 - i)) for i, b in enumerate(res[128:]))
+    pb.add_constraint(lc_hi, 1, d_hi + 0, 'pack_hi')
+    pb.add_constraint(lc_lo, 1, d_lo + 0, 'pack_lo')
+
+    bits = ''.join(bin(byte)[2:].rjust(8, '0') for byte in data)
+    for v, ch in zip(in_bits, bits):
+        pb.setval(v, int(ch))
+    g.generate_r1cs_witness()
+    pb.setval(d_hi, int.from_bytes(digest[:16], 'big'))
+    pb.setval(d_lo, int.from_bytes(digest[16:], 'big'))
+    assert pb.is_satisfied()
+    n = len(pb.constraints)
+
+    cache = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    ckpt = os.path.join(cache, "sha256_preimage.pkl")
+    if os.path.exists(ckpt):
+        with open(ckpt, 'rb') as fh:
+            keypair = pickle.load(fh)
+    else:
+        keypair = generator(pb)
+        with open(ckpt, 'wb') as fh:
+            pickle.dump(keypair, fh)
+
+    ctx = ProverContext(keypair.pk, pb)
+    proof = ctx.prove(pb.values)         # warm-up incl. compile
+    assert keypair.vk.verify(proof), "sha256 preimage proof failed"
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        proof = ctx.prove(pb.values)
+        best = min(best, time.perf_counter() - t0)
+    assert keypair.vk.verify(proof)
+    return {"metric": "sha256_preimage_prove_sec", "value": round(best, 3),
+            "unit": "s (%d constraints, verified, %s)" % (
+                n, jax.default_backend()),
+            "vs_baseline": round((n / best) / 1e5, 4)}
+
+
 WORKLOADS = {
     'poseidon1k': bench_poseidon1k,
     'mimc64k': bench_mimc64k,
     'ntt20': bench_ntt20,
     'merkle': bench_merkle,
+    'eddsa16k': bench_eddsa16k,
+    'sha256_preimage': bench_sha256_preimage,
 }
 
 

@@ -293,6 +293,168 @@ def eddsa_verify_code():
     return asm.assemble()
 
 
+# wNAF twin memory map (above the shared regions)
+WNAF_W = 0x400     # 8 window points x 4 ETEC words (odd multiples of P)
+WNAF_DIG = 0x800   # up to 256 digit slots (c in [0, 31]; 0 = skip)
+
+
+def _copy_words(asm, dst, src, n):
+    for w in range(n):
+        _ml(asm, src + 32 * w)
+        _ms(asm, dst + 32 * w)
+
+
+def _wnaf_build_window(asm):
+    """W[i] <- (2i+1) * P for i in 0..7 (contracts/wNAF.sol buildWindow):
+    W[0] = P, PT <- 2P, then W[i] = W[i-1] + 2P via the shared adder."""
+    _copy_words(asm, WNAF_W, PT, 4)
+    asm.push_label('ww_dbl_back')
+    asm.push_label('etec_dbl').emit('JUMP')  # PT <- 2P
+    asm.label('ww_dbl_back')
+    for i in range(1, 8):
+        _copy_words(asm, ACC, WNAF_W + 128 * (i - 1), 4)
+        asm.push_label('ww_add_back_%d' % i)
+        asm.push_label('etec_add').emit('JUMP')
+        asm.label('ww_add_back_%d' % i)
+        _copy_words(asm, WNAF_W + 128 * i, ACC, 4)
+
+
+def scalar_mult_naf5_code():
+    """Runtime bytecode of wNAF.scalarMultNAF5 (contracts/wNAF.sol:41-83):
+    calldata [x, y, scalar] -> 64 bytes [rx, ry].
+
+    Same structure as the contract: build the odd-multiple window
+    {1,3,..,15}P, emit width-5 wNAF digits LSB-first into memory (digit
+    slot stores the raw c = k mod 32; c > 16 encodes the negative digit of
+    magnitude 32 - c), then the MSB-first double-and-add over the digits
+    with on-the-fly window negation (x,t sign flip)."""
+    asm = Assembler()
+    _load_point_etec(asm, 0, 1)
+    _wnaf_build_window(asm)
+
+    # ---- digit pass: k -> digits[0..n) ----
+    asm.push(64).emit('CALLDATALOAD')        # [k]
+    asm.push(0)                              # [k, n]
+    asm.label('dig_loop')                    # [k, n]
+    asm.emit('DUP2').emit('ISZERO')
+    asm.push_label('dig_done').emit('JUMPI')
+    asm.push(0)                              # [k, n, d=0]
+    asm.emit('DUP3').push(1).emit('AND').emit('ISZERO')
+    asm.push_label('dig_store').emit('JUMPI')
+    asm.emit('POP')                          # odd: drop d=0
+    asm.emit('DUP2').push(31).emit('AND')    # [k, n, c] (k mod 32)
+    asm.emit('DUP1').push(16).emit('LT')     # [k, n, c, 16<c]
+    asm.push_label('dig_neg').emit('JUMPI')
+    # positive digit: k -= c
+    asm.emit('DUP1')                         # [k, n, c, c]
+    asm.emit('SWAP3')                        # [c, n, c, k]
+    asm.emit('SUB')                          # [c, n, k-c]  (a=k, b=c)
+    asm.emit('SWAP2')                        # [k-c, n, c]
+    asm.push_label('dig_store').emit('JUMP')
+    asm.label('dig_neg')                     # [k, n, c]: k += 32 - c
+    asm.emit('DUP1').push(32).emit('SUB')    # [k, n, c, 32-c]
+    asm.emit('DUP4').emit('ADD')             # [k, n, c, k+32-c]
+    asm.emit('SWAP3').emit('POP')            # [k', n, c]
+    asm.label('dig_store')                   # [k, n, d]
+    asm.emit('DUP2').push(32).emit('MUL')
+    asm.push(WNAF_DIG).emit('ADD')           # [k, n, d, addr]
+    asm.emit('MSTORE')                       # [k, n]
+    asm.push(1).emit('ADD')                  # n += 1  (a=1, b=n)
+    asm.emit('SWAP1').push(2).emit('SWAP1')
+    asm.emit('DIV').emit('SWAP1')            # k /= 2
+    asm.push_label('dig_loop').emit('JUMP')
+    asm.label('dig_done')                    # [k=0, n]
+    asm.emit('SWAP1').emit('POP')            # [n]
+
+    # ---- ACC <- identity ----
+    asm.push(0)
+    _ms(asm, ACC)
+    asm.push(1)
+    _ms(asm, ACC + 32)
+    asm.push(0)
+    _ms(asm, ACC + 64)
+    asm.push(1)
+    _ms(asm, ACC + 96)
+
+    # ---- main loop: for (i = n; i > 0; i--) ----
+    asm.label('mul_loop')                    # [i]
+    asm.emit('DUP1').emit('ISZERO')
+    asm.push_label('mul_done').emit('JUMPI')
+    # ACC <- 2*ACC (copy through PT; the shared doubler works on PT)
+    _copy_words(asm, PT, ACC, 4)
+    asm.push_label('ml_dbl_back')
+    asm.push_label('etec_dbl').emit('JUMP')
+    asm.label('ml_dbl_back')
+    _copy_words(asm, ACC, PT, 4)
+    # d = digits[i-1]
+    asm.emit('DUP1').push(1).emit('SWAP1').emit('SUB')   # [i, i-1]
+    asm.push(32).emit('MUL').push(WNAF_DIG).emit('ADD')
+    asm.emit('MLOAD')                        # [i, d]
+    asm.emit('DUP1').emit('ISZERO')
+    asm.push_label('mul_skip').emit('JUMPI')
+    asm.emit('DUP1').push(16).emit('LT')     # [i, d, 16<d]
+    asm.push_label('mul_neg').emit('JUMPI')
+    # PT <- W[(d-1)/2]
+    asm.push(1).emit('SWAP1').emit('SUB')    # [i, d-1]
+    asm.push(2).emit('SWAP1').emit('DIV')
+    asm.push(128).emit('MUL').push(WNAF_W).emit('ADD')   # [i, waddr]
+    asm.emit('DUP1')
+    for w in range(4):
+        asm.emit('DUP1')
+        asm.push(32 * w).emit('ADD').emit('MLOAD')
+        _ms(asm, PT + 32 * w)
+    asm.emit('POP').emit('POP')              # [i]
+    asm.push_label('ml_add').emit('JUMP')
+    asm.label('mul_neg')                     # [i, d]: PT <- -W[(31-d)/2]
+    asm.push(31).emit('SUB')                 # [i, 31-d]  (a=31? check)
+    asm.push(2).emit('SWAP1').emit('DIV')
+    asm.push(128).emit('MUL').push(WNAF_W).emit('ADD')   # [i, waddr]
+    for w in range(4):
+        asm.emit('DUP1')
+        asm.push(32 * w).emit('ADD').emit('MLOAD')
+        _ms(asm, PT + 32 * w)
+    asm.emit('POP')                          # [i]
+    # negate x and t (y, z unchanged): v <- Q - (v % Q)
+    for off in (PT, PT + 64):
+        asm.push(Q)
+        _ml(asm, off)
+        asm.push(Q).emit('SWAP1').emit('MOD')            # v % Q
+        asm.emit('SWAP1').emit('SUB')                    # Q - (v % Q)
+        asm.push(Q).emit('SWAP1').emit('MOD')            # mod Q (v==0 case)
+        _ms(asm, off)
+    asm.label('ml_add')                      # [i]
+    asm.push_label('ml_add_back')
+    asm.push_label('etec_add').emit('JUMP')
+    asm.label('ml_add_back')                 # [i]
+    asm.push_label('mul_next').emit('JUMP')
+    asm.label('mul_skip')                    # [i, 0] (the skipped digit)
+    asm.emit('POP')
+    asm.label('mul_next')                    # [i]
+    asm.push(1).emit('SWAP1').emit('SUB')    # i -= 1
+    asm.push_label('mul_loop').emit('JUMP')
+    asm.label('mul_done')                    # [0]
+    asm.emit('POP')
+    asm.push_label('naf_aff_back')
+    asm.push_label('to_affine').emit('JUMP')
+    asm.label('naf_aff_back')
+    asm.push(64).push(AFF).emit('RETURN')
+    asm.label('fail')
+    asm.push(0).push(0).emit('REVERT')
+    _etec_add_subroutine(asm)
+    _etec_dbl_subroutine(asm)
+    _to_affine_subroutine(asm)
+    return asm.assemble()
+
+
+def scalar_mult_naf5_evm(x, y, scalar):
+    """Execute the wNAF width-5 scalarMult twin; returns (rx, ry)."""
+    calldata = b''.join(int(v).to_bytes(32, 'big')
+                        for v in (x % Q, y % Q, scalar))
+    out = execute(scalar_mult_naf5_code(), calldata, gas_limit=10_000_000)
+    return (int.from_bytes(out[:32], 'big'),
+            int.from_bytes(out[32:], 'big'))
+
+
 def scalar_mult_evm(x, y, scalar):
     """Execute the scalarMult twin; returns (rx, ry)."""
     calldata = b''.join(int(v).to_bytes(32, 'big')

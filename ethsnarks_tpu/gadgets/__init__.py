@@ -13,3 +13,4 @@ from .basics import (  # noqa: F401
     packing_gadget, boolean_constrain)
 from .poseidon import Poseidon_gadget  # noqa: F401
 from .arith import comparison_gadget, subadd_gadget, shamir_poly  # noqa: F401
+from .sha256 import sha256_full_gadget_512, sha256_many, bits2blocks_padded  # noqa: F401
