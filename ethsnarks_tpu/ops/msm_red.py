@@ -669,8 +669,17 @@ def _pipeline(consts, b3, rows, digits_grp, b, c, k, nw, g2):
     live = real & ((slots & (n_buckets - 1)) != 0)
     ovf = jnp.any(jnp.where(live, ends - starts, 0) > k)
     j = jnp.arange(k, dtype=jnp.int32)
-    src_sorted = starts[:, None] + j[None, :]
-    vflat = (src_sorted < ends[:, None]).reshape(-1).astype(jnp.int32)
+    # Capacity-MAJOR dense layout (lane order (j, slot), NOT (slot, j)):
+    # the halving tree then slices the contiguous MAJOR axis.  With the
+    # slot-major layout the tree slices half of a 128-wide minor dim, and
+    # at (slots=8192, per=128) this stack miscompiles that pattern -
+    # exactly ONE slot comes back corrupted (reproduced with identical
+    # points and no sort/gather in the graph; same backend-miscompile
+    # class as the select-lowering hazard above).  Major-axis slices are
+    # layout-clean and verified correct at (8192,128)/(16384,64)/
+    # (32768,256).
+    src_sorted = starts[None, :] + j[:, None]        # (k, n_slots_pad)
+    vflat = (src_sorted < ends[None, :]).reshape(-1).astype(jnp.int32)
     src_orig = jnp.take(
         orig, jnp.clip(src_sorted.reshape(-1), 0, total - 1))
     # arithmetic blend (immune to the select-lowering hazard): invalid
@@ -692,9 +701,9 @@ def _pipeline(consts, b3, rows, digits_grp, b, c, k, nw, g2):
     per = k
     while per > 1:
         half = per // 2
-        resh = cmap(lambda a: a.reshape(RL, n_slots_pad, per), dense)
-        lhs = cmap(lambda a: a[:, :, :half].reshape(RL, -1), resh)
-        rhs = cmap(lambda a: a[:, :, half:].reshape(RL, -1), resh)
+        resh = cmap(lambda a: a.reshape(RL, per, n_slots_pad), dense)
+        lhs = cmap(lambda a: a[:, :half].reshape(RL, -1), resh)
+        rhs = cmap(lambda a: a[:, half:].reshape(RL, -1), resh)
         if g2:
             dense = _g2_add_red_dev(consts, b3, lhs, rhs)
         else:

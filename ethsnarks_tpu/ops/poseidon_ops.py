@@ -94,6 +94,61 @@ def _poseidon_default_jit(state):
     return poseidon_permutation(state)
 
 
+def poseidon_witness_device(state, params=None):
+    """Permutation + per-sbox witness trace (the master-instance analog).
+
+    Returns (final_state, aux) where aux is (n_sboxes, 3, L, B) Montgomery:
+    for every sbox in circuit order (first half full rounds j=0..t-1, then
+    partial rounds, then last half full rounds) the (x^2, x^4, x^5) values
+    the R1CS gadget allocates (gadgets/poseidon.py _FifthPower).  One
+    batched trace fills the witness of every instance in a batch - the
+    TPU-first equivalent of the reference's master-gadget instancing
+    (poseidon.hpp:405-517)."""
+    params = params or DefaultParams
+    C, M = _params_device()
+    C = jnp.asarray(C)
+    half_F = params.nRoundsF // 2
+    n_p = params.nRoundsP
+    assert params.e == 5, "witness trace is specialized to the x^5 sbox"
+
+    def full_round(s, c):
+        s = Fr.add(s, jnp.broadcast_to(c[:, None, None], s.shape))
+        x2 = Fr.mul(s, s)
+        x4 = Fr.mul(x2, x2)
+        x5 = Fr.mul(x4, s)
+        return _mix(x5, M), (x2, x4, x5)
+
+    def partial_round(s, c):
+        s = Fr.add(s, jnp.broadcast_to(c[:, None, None], s.shape))
+        x = s[:, 0]
+        x2 = Fr.mul(x, x)
+        x4 = Fr.mul(x2, x2)
+        x5 = Fr.mul(x4, x)
+        s = s.at[:, 0].set(x5)
+        return _mix(s, M), (x2, x4, x5)
+
+    state, aux_f1 = lax.scan(full_round, state, C[:half_F])
+    state, aux_p = lax.scan(partial_round, state, C[half_F:half_F + n_p])
+    state, aux_f2 = lax.scan(full_round, state, C[half_F + n_p:])
+
+    def flat_full(aux):
+        # (nR, L, t, B) x3 -> (nR*t, 3, L, B) in (round, j) order
+        return jnp.stack(
+            [jnp.moveaxis(a, 2, 1).reshape(-1, Fr.L, a.shape[3])
+             for a in aux], axis=1)
+
+    def flat_part(aux):
+        # (nR, L, B) x3 -> (nR, 3, L, B)
+        return jnp.stack(list(aux), axis=1)
+
+    aux = jnp.concatenate(
+        [flat_full(aux_f1), flat_part(aux_p), flat_full(aux_f2)], axis=0)
+    return state, aux
+
+
+_poseidon_witness_jit = jax.jit(poseidon_witness_device)
+
+
 def poseidon_device(inputs_batch, params=None, chained=False):
     """Host convenience: batch of input tuples -> batched Poseidon.
 
