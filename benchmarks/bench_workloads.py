@@ -240,9 +240,19 @@ WORKLOADS = {
 
 def main():
     names = sys.argv[1:] or list(WORKLOADS)
+    results = {}
     for name in names:
-        print(json.dumps(WORKLOADS[name]()), flush=True)
-    return 0
+        try:
+            row = WORKLOADS[name]()
+        except Exception as exc:
+            row = {"metric": name, "error": str(exc)}
+        results[name] = row
+        print(json.dumps(row), flush=True)
+    out = os.environ.get("WORKLOADS_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
+    return 0 if all("error" not in r for r in results.values()) else 1
 
 
 if __name__ == '__main__':

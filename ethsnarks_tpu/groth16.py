@@ -136,10 +136,17 @@ class _FixedBaseMul(object):
 
 class ProvingKey(object):
     """nozk proving key: sparse A (G1) / B (G2) queries, dense bitrev H query
-    (G1), L query (G1, aux variables only)."""
+    (G1), L query (G1, aux variables only).
+
+    The optional zk extras (delta_g1, beta_g1, b_query_g1 - the parts the
+    reference's zk-form key keeps and the nozk conversion drops,
+    r1cs_gg_ppzksnark_zok.hpp:172-274) enable r/s-blinded proving; keys
+    generated with ``generator(zk=False)`` omit them and prove
+    deterministically."""
 
     def __init__(self, alpha_g1, beta_g2, delta_g2, a_query, b_query,
-                 h_query_bitrev, l_query, num_inputs):
+                 h_query_bitrev, l_query, num_inputs, delta_g1=None,
+                 beta_g1=None, b_query_g1=None):
         self.alpha_g1 = alpha_g1
         self.beta_g2 = beta_g2
         self.delta_g2 = delta_g2
@@ -148,6 +155,15 @@ class ProvingKey(object):
         self.h_query_bitrev = h_query_bitrev  # list[G1 or None], len m
         self.l_query = l_query            # list[G1 or None], aux vars
         self.num_inputs = num_inputs
+        self.delta_g1 = delta_g1          # zk extras (None on nozk keys)
+        self.beta_g1 = beta_g1
+        self.b_query_g1 = b_query_g1      # list[(idx, G1)]
+
+    @property
+    def has_zk_extras(self):
+        return (getattr(self, 'delta_g1', None) is not None
+                and getattr(self, 'beta_g1', None) is not None
+                and getattr(self, 'b_query_g1', None) is not None)
 
 
 class Keypair(object):
@@ -156,7 +172,7 @@ class Keypair(object):
         self.vk = vk
 
 
-def generator(cs, rng=None, device_exp='auto'):
+def generator(cs, rng=None, device_exp='auto', zk=False):
     """Trusted setup over a finished (constrained) ConstraintSystem.
 
     rng: optional callable returning random field elements (for tests);
@@ -164,7 +180,11 @@ def generator(cs, rng=None, device_exp='auto'):
 
     device_exp: run the batch exponentiations (the setup hot path,
     reference tcc:358-412) on the accelerator via ops.batch_exp.  'auto'
-    enables it on TPU; the host window-table path is used elsewhere."""
+    enables it on TPU; the host window-table path is used elsewhere.
+
+    zk: also keep the zk-form extras (delta_g1, beta_g1, G1 B-query) so
+    the prover can add r/s blinding (prove(..., blind=True)).  The fork's
+    default is the nozk key: deterministic proofs, smaller key."""
     rng = rng or (lambda: secrets.randbelow(P - 1) + 1)
     qap = QAP(cs)
     if device_exp == 'auto':
@@ -230,6 +250,13 @@ def generator(cs, rng=None, device_exp='auto'):
         gamma=g2.mul(gamma),
         delta=g2.mul(delta),
         gammaABC=gamma_abc)
+    zk_extras = {}
+    if zk:
+        zk_extras = dict(
+            delta_g1=g1.mul(delta),
+            beta_g1=g1.mul(beta),
+            b_query_g1=list(zip(b_idx, g1.mul_many(
+                [Bt[i] for i in b_idx]))))
     pk = ProvingKey(
         alpha_g1=g1.mul(alpha),
         beta_g2=g2.mul(beta),
@@ -238,7 +265,8 @@ def generator(cs, rng=None, device_exp='auto'):
         b_query=b_query,
         h_query_bitrev=h_query_bitrev,
         l_query=l_query,
-        num_inputs=ni)
+        num_inputs=ni,
+        **zk_extras)
     return Keypair(pk, vk)
 
 
@@ -485,16 +513,29 @@ class ProverContext(object):
             c = min(max(c, 7), 10 if self._impl() == 'fused' else 13)
         return c
 
-    def prove(self, witness_values, primary_input=None):
+    def prove(self, witness_values, primary_input=None, blind=False,
+              rng=None):
         """witness_values: full assignment [1, x_1.., aux..] (python ints).
 
         Device path: key queries are device-resident (prepared once); the H
         scalars never leave the device (witness map -> from_mont -> digit
-        extraction -> MSM all on-chip)."""
+        extraction -> MSM all on-chip).
+
+        blind: add Groth16 r/s zero-knowledge blinding (A += r*delta,
+        B += s*delta, C += s*A + r*B1 - r*s*delta).  Requires a key built
+        with generator(zk=True) - the fork's nozk keys drop the needed
+        delta_g1/beta_g1/G1-B-query (hpp:209-233) and prove
+        deterministically.  The extra G1 B-query evaluation runs on host
+        (blinded proving is not the throughput path)."""
         pk = self.pk
         ni = pk.num_inputs
         w = [int(v) % P for v in witness_values]
         assert w[0] == 1
+        if blind and not pk.has_zk_extras:
+            raise ValueError(
+                "blind=True needs a zk-form key: generate with "
+                "generator(zk=True); nozk keys drop delta_g1/beta_g1/"
+                "B1-query (reference hpp:209-233)")
 
         if self.mesh is not None:
             import jax.numpy as jnp
@@ -573,6 +614,19 @@ class ProverContext(object):
         g_a = add(pk.alpha_g1, a_eval)
         g_b = add(pk.beta_g2, b_eval)
         g_c = add(h_eval, l_eval)
+        if blind:
+            rng = rng or (lambda: secrets.randbelow(P - 1) + 1)
+            r, s = rng(), rng()
+            b1_eval = self._host_msm(
+                [(w[i], pt) for i, pt in pk.b_query_g1])
+            g_b1 = add(pk.beta_g1, b1_eval)           # B in G1
+            g_a = add(g_a, multiply(pk.delta_g1, r))
+            g_b = add(g_b, multiply(pk.delta_g2, s))
+            g_b1 = add(g_b1, multiply(pk.delta_g1, s))
+            g_c = add(g_c, add(
+                multiply(g_a, s),
+                add(multiply(g_b1, r),
+                    neg(multiply(pk.delta_g1, r * s % P)))))
         return Proof(A=g_a, B=g_b, C=g_c, input=w[1:1 + ni])
 
 
