@@ -27,6 +27,11 @@ python-test-slow:
 python-test-all:
 	$(PYTHON) -m pytest tests/ -x -q -m ""
 
+# Nightly/pre-release cadence: the device+slow tiers exercise the exact
+# regression classes (254-bit envelopes, sharded prover, merged-tail) the
+# default host tier cannot - run this on a schedule, not per-commit.
+ci-nightly: python-test python-test-device python-test-slow native-test
+
 native:
 	$(MAKE) -C native
 
@@ -52,5 +57,6 @@ clean:
 	$(MAKE) -C native clean
 	rm -rf .pytest_cache
 
-.PHONY: all test python-test python-test-slow python-test-all native \
-	native-test bench bench-workloads artifacts clean
+.PHONY: all test python-test python-test-device python-test-slow \
+	python-test-all ci-nightly native native-test bench bench-workloads \
+	artifacts clean

@@ -47,19 +47,28 @@ from .mesh import AXIS
 
 def _window_ks_sharded(b_local, c, digits_merged, n_dev):
     """Exact per-window pow2 capacities = max over shards (every shard runs
-    the same executable, so capacities are the per-shard worst case)."""
+    the same executable, so capacities are the per-shard worst case).
+
+    One vectorized bincount over (window, shard, digit) composite keys -
+    the python per-(w,d) loop was an O(n_dev * nw) multi-second host stall
+    at 2^20-scale replans."""
     import math
     nw, b = digits_merged.shape
     mean = max(1, b_local >> c)
     floor = mean + 4 * int(math.isqrt(mean)) + 8
+    per = digits_merged.reshape(nw, n_dev, b_local).astype(np.int64)
+    # merged top rows may exceed 2^c; size the per-(w,d) key block to the
+    # actual digit range so blocks never collide
+    nb = max(1 << c, _pow2ceil(int(per.max()) + 1))
+    keys = (np.arange(nw * n_dev, dtype=np.int64)[:, None] * nb
+            + per.reshape(nw * n_dev, b_local))
+    counts = np.bincount(
+        keys.reshape(-1), minlength=nw * n_dev * nb
+    ).reshape(nw, n_dev, nb)
+    mx_w = counts[:, :, 1:].max(axis=(1, 2))
     ks = []
-    per = digits_merged.reshape(nw, n_dev, b_local)
     for w in range(nw):
-        mx = 0
-        for d in range(n_dev):
-            counts = np.bincount(per[w, d])
-            if counts.shape[0] > 1:
-                mx = max(mx, int(counts[1:].max()))
+        mx = int(mx_w[w])
         need = max(mx + 4 * int(math.isqrt(mx)) + 8, floor) \
             if mx > floor else floor
         ks.append(_pow2ceil(need))
