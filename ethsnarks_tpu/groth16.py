@@ -575,17 +575,32 @@ class ProverContext(object):
             h_eval = self._host_msm(h_pairs)
             l_eval = self._host_msm(l_pairs)
         else:
+            import os
+            import time as _time
             from .ops import msm as msm_ops
             from .ops.fp import Fr
+            profile = os.environ.get("ETHSNARKS_PROVE_PROFILE") == "1"
+            marks = [('start', _time.perf_counter())]
+
+            def mark(name, sync=None):
+                if profile:
+                    if sync is not None:
+                        import jax
+                        jax.block_until_ready(sync)
+                    marks.append((name, _time.perf_counter()))
+
             # ONE limb decomposition of the witness feeds the device
             # witness map AND every host digit extraction (uint32 numpy
             # passes instead of python-bigint passes per MSM)
             w_limbs = Fr.to_limbs_fast(w)
+            mark('witness_limbs')
 
             h_bitrev_mont = self.qap.witness_map_device_limbs(w_limbs)
+            mark('witness_map_ntt', sync=h_bitrev_mont)
             h_digits = self._h_digit_fn(h_bitrev_mont)
             h_eval = self._msm_g1(self._h_pts, h_digits, self._h_c,
                                   static_plan=True)
+            mark('h_msm')
 
             a_c = self._pick_c(len(self._a_idx))
             b_c = self._pick_c(len(self._b_idx))
@@ -607,9 +622,17 @@ class ProverContext(object):
                     w_limbs[:, self._b_idx], b_c)
                 l_digits = msm_ops.window_digits_from_limbs_np(
                     w_limbs[:, ni + 1:], l_c)
+            mark('abl_digits')
             a_eval = self._msm_g1(self._a_pts, a_digits, a_c)
+            mark('a_msm')
             b_eval = self._msm_g2(self._b_pts, b_digits, b_c)
+            mark('b_msm_g2')
             l_eval = self._msm_g1(self._l_pts, l_digits, l_c)
+            mark('l_msm')
+            if profile:
+                spans = ['%s=%.3fs' % (n, t - marks[i][1])
+                         for i, (n, t) in enumerate(marks[1:])]
+                print('[prove profile] ' + ' '.join(spans), flush=True)
 
         g_a = add(pk.alpha_g1, a_eval)
         g_b = add(pk.beta_g2, b_eval)
