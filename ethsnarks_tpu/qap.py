@@ -58,13 +58,28 @@ class QAP(object):
                 jnp.asarray(cols.astype(np.int32)),
                 jnp.asarray(_mont_np(coeffs)),
             )
-        self._witness_map_jit = jax.jit(self._witness_map)
+        # Every large array (COO matrices, per-stage twiddles, pointwise
+        # scale planes) is passed to the jit as an ARGUMENT, never closed
+        # over: closure constants get baked into the serialized module,
+        # and at 2^20-constraint scale (2^21 domain) that is a ~1GB
+        # compile request the remote-compile service rejects (HTTP 413).
+        d = self.domain
+        self._big = dict(
+            a=self.dev['a'], b=self.dev['b'], c=self.dev['c'],
+            tw_fwd=tuple(jnp.asarray(t) for t in d.tw_fwd),
+            tw_inv=tuple(jnp.asarray(t) for t in d.tw_inv),
+            coset_scale=jnp.asarray(d.coset_scale_bitrev),
+            coset_unscale=jnp.asarray(d.coset_unscale_bitrev),
+            m_inv=jnp.asarray(d.m_inv_mont),
+            z_inv=jnp.asarray(d.z_coset_inv_mont),
+        )
+        self._witness_map_jit = jax.jit(self._witness_map_params)
 
     # ------------- device witness map -------------
 
-    def _matvec(self, name, witness_mont):
+    def _matvec(self, name, witness_mont, arrs=None):
         """Sparse rows . witness -> (L, domain_size), Montgomery form."""
-        rows, cols, coeffs = self.dev[name]
+        rows, cols, coeffs = arrs if arrs is not None else self.dev[name]
         vals = Fr.mul(coeffs, witness_mont[:, cols])  # (L, nnz)
         sums = jax.ops.segment_sum(
             vals.T.astype(jnp.uint32), rows,
@@ -78,27 +93,43 @@ class QAP(object):
             mult //= 2
         return t[:Fr.L]
 
-    def _witness_map(self, witness_mont):
-        """witness_mont: (L, num_variables) Montgomery (col 0 = ONE).
-
-        Returns H coefficients (L, domain_size), bit-reversed order."""
+    def _witness_map_params(self, witness_mont, big):
+        """Pure-parameter witness map body: `big` carries the COO matrices
+        and NTT constant planes (see __init__ note).  Value-identical to
+        the NttDomain method composition."""
         d = self.domain
-        aA = self._matvec('a', witness_mont)
-        aB = self._matvec('b', witness_mont)
-        aC = self._matvec('c', witness_mont)
+        aA = self._matvec('a', witness_mont, big['a'])
+        aB = self._matvec('b', witness_mont, big['b'])
+        aC = self._matvec('c', witness_mont, big['c'])
         # Input-consistency rows: aA[n + j] = w_j for j = 0..num_inputs.
         n = self.num_constraints
         inputs = witness_mont[:, :self.num_inputs + 1]  # includes ONE
         aA = jax.lax.dynamic_update_slice(aA, inputs, (0, n))
 
-        cA = d.ifft_evals_to_coeffs_bitrev(aA)
-        cB = d.ifft_evals_to_coeffs_bitrev(aB)
-        cC = d.ifft_evals_to_coeffs_bitrev(aC)
-        eA = d.coset_fft_coeffs_bitrev_to_evals(cA)
-        eB = d.coset_fft_coeffs_bitrev_to_evals(cB)
-        eC = d.coset_fft_coeffs_bitrev_to_evals(cC)
-        h_evals = d.divide_by_z_on_coset(Fr.sub(Fr.mul(eA, eB), eC))
-        return d.icoset_fft_evals_to_coeffs_bitrev(h_evals)
+        def ifft_bitrev(x):
+            y = d._dif(x, big['tw_inv'])
+            return Fr.mul(y, jnp.broadcast_to(big['m_inv'], y.shape))
+
+        def coset_fft(cb):
+            return d._dit(Fr.mul(cb, big['coset_scale']), big['tw_fwd'])
+
+        cA = ifft_bitrev(aA)
+        cB = ifft_bitrev(aB)
+        cC = ifft_bitrev(aC)
+        eA = coset_fft(cA)
+        eB = coset_fft(cB)
+        eC = coset_fft(cC)
+        ab_c = Fr.sub(Fr.mul(eA, eB), eC)
+        h_evals = Fr.mul(ab_c, jnp.broadcast_to(big['z_inv'], ab_c.shape))
+        y = d._dif(h_evals, big['tw_inv'])
+        y = Fr.mul(y, jnp.broadcast_to(big['m_inv'], y.shape))
+        return Fr.mul(y, big['coset_unscale'])
+
+    def _witness_map(self, witness_mont):
+        """witness_mont: (L, num_variables) Montgomery (col 0 = ONE).
+
+        Returns H coefficients (L, domain_size), bit-reversed order."""
+        return self._witness_map_params(witness_mont, self._big)
 
     def witness_map_device(self, witness_values):
         """Host ints -> device H coefficients (bitrev).  Returns jax array."""
@@ -110,7 +141,7 @@ class QAP(object):
         (bitrev).  Lets the prover share ONE limb decomposition between the
         witness map and the A/B/L digit extraction."""
         w = Fr.to_mont_jit(witness_limbs)
-        return self._witness_map_jit(w)
+        return self._witness_map_jit(w, self._big)
 
     # ------------- host witness map (exact, compile-free) -------------
 
