@@ -420,14 +420,43 @@ class ProverContext(object):
         from .ops import msm as msm_ops
         from .ops import curve as curve_ops
         impl = self._impl()
+        if impl == 'red' and getattr(self, '_g2_generic', False):
+            impl = 'generic'
+            pts_dev = self._b_pts_generic
+            digits = np.asarray(digits)[:, :len(self.pk.b_query)]
         if impl == 'red':
             from .ops import msm_red
             kw = {}
             if self.config.msm_max_lanes:
                 kw['max_lanes'] = self.config.msm_max_lanes
-            return msm_red.msm_g2_dense_red(
-                pts_dev, np.asarray(digits), c,
-                static_plan=self._static(False), **kw)
+            try:
+                return msm_red.msm_g2_dense_red(
+                    pts_dev, np.asarray(digits), c,
+                    static_plan=self._static(False), **kw)
+            except Exception as exc:
+                if 'remote_compile' not in str(exc):
+                    raise
+                # The single-dispatch G2 module (Fq2 triples the inlined
+                # body size) can exceed the remote-compile service's
+                # module budget, which then routes it to a chipless AOT
+                # helper that cannot initialize libtpu in this
+                # environment.  Fall back to the multi-dispatch generic
+                # G2 path (many small executables) - slower per proof but
+                # compiles everywhere.
+                import sys
+                print('[groth16] red G2 MSM compile rejected by the '
+                      'remote service; falling back to the generic '
+                      'multi-dispatch G2 path', file=sys.stderr, flush=True)
+                import jax.numpy as jnp
+                b_dev = curve_ops.g2_to_device(
+                    [pt for _, pt in self.pk.b_query])
+                self._b_pts_generic = tuple(
+                    tuple(jnp.asarray(cc) for cc in coord)
+                    for coord in b_dev)
+                self._g2_generic = True
+                pts_dev = self._b_pts_generic
+                digits = np.asarray(digits)[:, :len(self.pk.b_query)]
+                impl = 'generic'
         if impl == 'fused':
             from .ops import pallas_msm
             return pallas_msm.msm_g2_dense_allwin(
@@ -447,10 +476,24 @@ class ProverContext(object):
         b_pts = [pt for _, pt in pk.b_query]
         if self._impl() == 'red':
             from .ops import msm_red
+            # Identity-pad the A/L queries to the H query's pow2 length so
+            # ONE compiled MSM executable (the bench/H shape) serves all
+            # three G1 queries - on the remote-compile service a fresh
+            # 2^20-class executable is a ~25-minute compile, and padded
+            # lanes carry digit 0 (bucket 0 is never folded).  Falls back
+            # to per-query shapes if a query outgrows the domain.
+            m = len(pk.h_query_bitrev)
+            if max(len(a_pts), len(pk.l_query)) <= m:
+                self._g1_bpad = m
+                a_pts = a_pts + [None] * (m - len(a_pts))
+                l_pts = list(pk.l_query) + [None] * (m - len(pk.l_query))
+            else:
+                self._g1_bpad = None
+                l_pts = pk.l_query
             self._a_pts = msm_red.g1_to_red(a_pts)
             self._b_pts = msm_red.g2_to_red(b_pts)
             self._h_pts = msm_red.g1_to_red(pk.h_query_bitrev)
-            self._l_pts = msm_red.g1_to_red(pk.l_query)
+            self._l_pts = msm_red.g1_to_red(l_pts)
         else:
             from .ops import curve as curve_ops
             self._a_pts = tuple(jnp.asarray(x)
@@ -602,9 +645,14 @@ class ProverContext(object):
                                   static_plan=True)
             mark('h_msm')
 
-            a_c = self._pick_c(len(self._a_idx))
+            bpad = getattr(self, '_g1_bpad', None)
+            if bpad is not None:
+                # A/L share the H executable: same b, same c
+                a_c = l_c = self._h_c
+            else:
+                a_c = self._pick_c(len(self._a_idx))
+                l_c = self._pick_c(self.qap.num_variables - ni - 1)
             b_c = self._pick_c(len(self._b_idx))
-            l_c = self._pick_c(self.qap.num_variables - ni - 1)
             if (self.config.msm_static_plan is True
                     and self._impl() == 'red'):
                 # device-resident digit pipeline: ONE witness-limb upload
@@ -612,9 +660,17 @@ class ProverContext(object):
                 # all three queries (no per-proof digit-matrix uploads)
                 import jax.numpy as jnp
                 wl_dev = jnp.asarray(w_limbs)
-                a_digits = _digit_extract_jit(a_c)(wl_dev, self._a_idx_dev)
+                if bpad is not None:
+                    a_digits = _digit_extract_pad_jit(a_c, bpad)(
+                        wl_dev, self._a_idx_dev)
+                    l_digits = _digit_extract_pad_jit(l_c, bpad)(
+                        wl_dev, self._l_idx_dev)
+                else:
+                    a_digits = _digit_extract_jit(a_c)(
+                        wl_dev, self._a_idx_dev)
+                    l_digits = _digit_extract_jit(l_c)(
+                        wl_dev, self._l_idx_dev)
                 b_digits = _digit_extract_jit(b_c)(wl_dev, self._b_idx_dev)
-                l_digits = _digit_extract_jit(l_c)(wl_dev, self._l_idx_dev)
             else:
                 a_digits = msm_ops.window_digits_from_limbs_np(
                     w_limbs[:, self._a_idx], a_c)
@@ -622,6 +678,9 @@ class ProverContext(object):
                     w_limbs[:, self._b_idx], b_c)
                 l_digits = msm_ops.window_digits_from_limbs_np(
                     w_limbs[:, ni + 1:], l_c)
+                if bpad is not None:
+                    a_digits = self._pad_digit_cols(a_digits, bpad)
+                    l_digits = self._pad_digit_cols(l_digits, bpad)
             mark('abl_digits')
             a_eval = self._msm_g1(self._a_pts, a_digits, a_c)
             mark('a_msm')

@@ -131,6 +131,67 @@ class QAP(object):
         Returns H coefficients (L, domain_size), bit-reversed order."""
         return self._witness_map_params(witness_mont, self._big)
 
+    # ---- split-dispatch witness map (large-module workaround) ----
+
+    @property
+    def _split_jits(self):
+        """Per-transform jits for the split witness map: the one-module
+        form exceeds the remote-compile service's module budget on TPU at
+        large domains (the chipless AOT fallback rejects it), so each
+        transform compiles separately.  Lazy-built; value-identical."""
+        jits = getattr(self, '_split_jits_cache', None)
+        if jits is None:
+            d = self.domain
+
+            def mv(name):
+                # self.max_terms[name] is read inside _matvec at trace
+                # time (it shapes the cond-sub ladder)
+
+                @jax.jit
+                def run(w, rows, cols, coeffs):
+                    return self._matvec(name, w, (rows, cols, coeffs))
+                return run
+
+            jits = dict(
+                mv={n: mv(n) for n in ('a', 'b', 'c')},
+                dif=jax.jit(lambda x, tw: d._dif(x, tw)),
+                dit=jax.jit(lambda x, tw: d._dit(x, tw)),
+                mul=jax.jit(Fr.mul),
+                mul_b=jax.jit(lambda x, s: Fr.mul(
+                    x, jnp.broadcast_to(s, x.shape))),
+                absubc=jax.jit(lambda a, b, c: Fr.sub(Fr.mul(a, b), c)),
+                upd=jax.jit(lambda aA, inputs, n: jax.lax.dynamic_update_slice(
+                    aA, inputs, (0, n)), static_argnums=(2,)),
+            )
+            self._split_jits_cache = jits
+        return jits
+
+    def _witness_map_split(self, w_mont):
+        """Same math as _witness_map_params, one device dispatch per
+        transform (compile economy for the remote service; slightly more
+        HBM traffic between stages)."""
+        big = self._big
+        j = self._split_jits
+        n = self.num_constraints
+        inputs = w_mont[:, :self.num_inputs + 1]
+        aA = j['upd'](j['mv']['a'](w_mont, *big['a']), inputs, n)
+        aB = j['mv']['b'](w_mont, *big['b'])
+        aC = j['mv']['c'](w_mont, *big['c'])
+
+        def ifft_bitrev(x):
+            return j['mul_b'](j['dif'](x, big['tw_inv']), big['m_inv'])
+
+        def coset_fft(cb):
+            return j['dit'](j['mul'](cb, big['coset_scale']),
+                            big['tw_fwd'])
+
+        eA = coset_fft(ifft_bitrev(aA))
+        eB = coset_fft(ifft_bitrev(aB))
+        eC = coset_fft(ifft_bitrev(aC))
+        h_evals = j['mul_b'](j['absubc'](eA, eB, eC), big['z_inv'])
+        y = j['mul_b'](j['dif'](h_evals, big['tw_inv']), big['m_inv'])
+        return j['mul'](y, big['coset_unscale'])
+
     def witness_map_device(self, witness_values):
         """Host ints -> device H coefficients (bitrev).  Returns jax array."""
         return self.witness_map_device_limbs(
@@ -139,8 +200,18 @@ class QAP(object):
     def witness_map_device_limbs(self, witness_limbs):
         """Canonical 13-bit limb array (L, nv) uint32 -> device H coeffs
         (bitrev).  Lets the prover share ONE limb decomposition between the
-        witness map and the A/B/L digit extraction."""
+        witness map and the A/B/L digit extraction.
+
+        On TPU the transforms dispatch separately (see _split_jits); off-
+        TPU the fused single-module form is kept (XLA:CPU fuses the
+        pointwise stages and the persistent test caches stay valid)."""
         w = Fr.to_mont_jit(witness_limbs)
+        try:
+            on_tpu = jax.default_backend() != 'cpu'
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            return self._witness_map_split(w)
         return self._witness_map_jit(w, self._big)
 
     # ------------- host witness map (exact, compile-free) -------------
