@@ -419,7 +419,18 @@ class ProverContext(object):
         """G2 MSM dispatch (the B query)."""
         from .ops import msm as msm_ops
         from .ops import curve as curve_ops
+        import os as _os
         impl = self._impl()
+        if (impl == 'red' and not getattr(self, '_g2_generic', False)
+                and _os.environ.get('ETHSNARKS_G2_IMPL') == 'generic'):
+            # operator override: skip the red attempt entirely (e.g. when
+            # the remote service is known to reject the big G2 module)
+            self._g2_generic = True
+            from .ops import curve as _curve
+            import jax.numpy as _jnp
+            b_dev = _curve.g2_to_device([pt for _, pt in self.pk.b_query])
+            self._b_pts_generic = tuple(
+                tuple(_jnp.asarray(cc) for cc in coord) for coord in b_dev)
         if impl == 'red' and getattr(self, '_g2_generic', False):
             impl = 'generic'
             pts_dev = self._b_pts_generic
@@ -652,7 +663,8 @@ class ProverContext(object):
             else:
                 a_c = self._pick_c(len(self._a_idx))
                 l_c = self._pick_c(self.qap.num_variables - ni - 1)
-            b_c = self._pick_c(len(self._b_idx))
+            b_c = int(os.environ.get('ETHSNARKS_G2_C', '0')) \
+                or self._pick_c(len(self._b_idx))
             if (self.config.msm_static_plan is True
                     and self._impl() == 'red'):
                 # device-resident digit pipeline: ONE witness-limb upload
