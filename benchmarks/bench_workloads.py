@@ -204,7 +204,9 @@ def bench_sha256_preimage():
 
     cache = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    ckpt = os.path.join(cache, "sha256_preimage.pkl")
+    # Key the cached keypair by the circuit's constraint count so a gadget
+    # change regenerates keys instead of reusing a stale pair.
+    ckpt = os.path.join(cache, "sha256_preimage_%d.pkl" % n)
     if os.path.exists(ckpt):
         with open(ckpt, 'rb') as fh:
             keypair = pickle.load(fh)

@@ -17,6 +17,7 @@ time).
 device-resident key shards) reused across proofs.
 """
 
+import os
 import secrets
 from functools import lru_cache
 
@@ -323,8 +324,8 @@ class ProverContext(object):
         g1_lens = (len(pk.a_query), len(pk.l_query),
                    len(pk.h_query_bitrev))
         b_common = max(n_dev, -(-max(g1_lens) // n_dev) * n_dev)
-        assert b_common % len(pk.h_query_bitrev) == 0 or \
-            b_common >= len(pk.h_query_bitrev), "pow2 H domain fits pad"
+        assert b_common % n_dev == 0 and b_common >= max(g1_lens), \
+            "common pad covers every G1 query and splits evenly per device"
 
         def make(query_pts, g2, b_pad=None):
             pts = list(query_pts)
@@ -445,7 +446,19 @@ class ProverContext(object):
                     pts_dev, np.asarray(digits), c,
                     static_plan=self._static(False), **kw)
             except Exception as exc:
-                if 'remote_compile' not in str(exc):
+                # Fall back on anything that smells like a compile-service
+                # failure (not just the one wording round 4 happened to
+                # see); override/extend via ETHSNARKS_G2_FALLBACK_MARKERS.
+                markers = os.environ.get(
+                    'ETHSNARKS_G2_FALLBACK_MARKERS',
+                    'remote_compile,compile,RESOURCE_EXHAUSTED,'
+                    'DEADLINE_EXCEEDED,413,500,Unavailable').split(',')
+                text = '%s: %s' % (type(exc).__name__, exc)
+                cause = exc.__cause__ or exc.__context__
+                if cause is not None:
+                    text += ' <- %s: %s' % (type(cause).__name__, cause)
+                if not any(m and m.lower() in text.lower()
+                           for m in markers):
                     raise
                 # The single-dispatch G2 module (Fq2 triples the inlined
                 # body size) can exceed the remote-compile service's

@@ -10,8 +10,6 @@ VPU busy instead of looping 36 scalar muls.
 State layout: (L, t, B) Montgomery-form Fr limbs.
 """
 
-from functools import lru_cache
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,15 +30,25 @@ def _to_mont_np(values):
     return out
 
 
-@lru_cache(maxsize=None)
-def _params_device(params_key=None):
-    """Round constants (nRounds, L) and MDS matrix (t, t, L), Montgomery."""
-    params = DefaultParams if params_key is None else params_key
+_PARAMS_CACHE = {}
+
+
+def _params_device(params=None):
+    """Round constants (nRounds, L) and MDS matrix (t, t, L), Montgomery.
+
+    Cached per params object (id-keyed; the cache pins the params so ids
+    cannot be recycled) - PoseidonParamsType holds lists so it is not
+    hashable for lru_cache."""
+    params = DefaultParams if params is None else params
+    hit = _PARAMS_CACHE.get(id(params))
+    if hit is not None:
+        return hit[1], hit[2]
     C = _to_mont_np(params.constants_C)
     t = params.t
     M = np.zeros((t, t, Fr.L), dtype=np.uint32)
     for i in range(t):
         M[i] = _to_mont_np(params.constants_M[i])
+    _PARAMS_CACHE[id(params)] = (params, C, M)
     return C, M
 
 
@@ -61,7 +69,7 @@ def _mix(state, M_dev):
 def poseidon_permutation(state, params=None):
     """Full Poseidon-pi permutation; state (L, t, B) Montgomery Fr."""
     params = params or DefaultParams
-    C, M = _params_device()
+    C, M = _params_device(params)
     C = jnp.asarray(C)
     half_F = params.nRoundsF // 2
     e = params.e
@@ -105,7 +113,7 @@ def poseidon_witness_device(state, params=None):
     TPU-first equivalent of the reference's master-gadget instancing
     (poseidon.hpp:405-517)."""
     params = params or DefaultParams
-    C, M = _params_device()
+    C, M = _params_device(params)
     C = jnp.asarray(C)
     half_F = params.nRoundsF // 2
     n_p = params.nRoundsP

@@ -47,6 +47,9 @@ class TestGasSchedule(unittest.TestCase):
     def test_sha3_word_cost(self):
         def run(nbytes):
             a = Assembler()
+            # pre-expand memory past the hashed range so the delta below
+            # isolates the SHA3 word cost (no memory-expansion gas mixed in)
+            a.push(0).push(64).emit('MSTORE')
             a.push(nbytes).push(0).emit('SHA3')
             a.push(0).emit('MSTORE')
             a.push(32).push(0).emit('RETURN')
