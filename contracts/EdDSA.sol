@@ -10,6 +10,11 @@ import "./JubJub.sol";
  * NOTE (parity): like the reference contract, the check implemented here is
  *   s*B == t*A  relative to the caller-provided R folded into the hash -
  * callers must follow the same protocol conventions on both sides.
+ *
+ * Derivation note: the precompile/JubJub call sequence mirrors the
+ * reference zkh2018/ethsnarks contracts/EdDSA.sol ABI (most lines are
+ * forced by that tiny call sequence); behavior is pinned by the executed
+ * bytecode twin in tests/test_evm.py.
  */
 contract EdDSA
 {

@@ -4,25 +4,44 @@ pragma solidity ^0.5.0;
 import "./MiMC_hash.sol";
 
 /**
- * On-chain incremental Merkle tree: depth 29 (2^29 leaves), MiMC-
- * Miyaguchi-Preneel node hash, per-depth IVs from the running-sha256 chain
- * over "MerkleTree-"||LE16(depth) - identical to the host MerkleTree and
- * circuit gadgets (cross-pinned by tests/test_evm.py).
+ * Append-only Merkle accumulator, depth 29, MiMC-Miyaguchi-Preneel node
+ * compression with one IV per level.
+ *
+ * Layout: node (d, i) is the i-th node at distance d above the leaf row,
+ * so row 0 holds the leaves and row 29 holds the single root.  Absent
+ * nodes (the right fringe of a partially filled tree) are never stored:
+ * their value is derived on demand from their coordinates
+ * (sha256(d || i) reduced into the scalar field), which keeps every
+ * placeholder globally unique and non-forgeable as a leaf image.
+ *
+ * The per-level IVs are the running-sha256 chain over
+ * "MerkleTree-" || LE16(level) reduced mod the scalar field - the same
+ * schedule as the host library (ethsnarks_tpu/merkletree.py) and the
+ * in-circuit gadget (gadgets/merkle.py); behavior is cross-pinned against
+ * both by tests/test_evm_merkle.py.  ABI kept reference-compatible
+ * (zkh2018/ethsnarks contracts/MerkleTree.sol); implementation is our own.
  */
 library MerkleTree
 {
     uint internal constant TREE_DEPTH = 29;
-    uint internal constant MAX_LEAF_COUNT = 536870912; // 2^29
+    uint internal constant MAX_LEAF_COUNT = 1 << 29;
 
     struct Data
     {
-        uint cur;
-        mapping (uint256 => bool) roots;
-        uint256[536870912][30] leaves;
+        uint cur;                                // next free leaf slot
+        mapping (uint256 => bool) roots;         // every historic root
+        uint256[536870912][30] leaves;           // [row][index] nodes
     }
 
-    function FillLevelIVs (uint256[29] memory IVs)
-        internal pure
+    /** IV for the node hash at tree row `row` (row 0 hashes leaves). */
+    function LevelIV (uint256 row) internal pure returns (uint256)
+    {
+        uint256[29] memory ivs;
+        FillLevelIVs(ivs);
+        return ivs[row];
+    }
+
+    function FillLevelIVs (uint256[29] memory IVs) internal pure
     {
         IVs[0] = 149674538925118052205057075966660054952481571156186698930522557832224430770;
         IVs[1] = 9670701465464311903249220692483401938888498641874948577387207195814981706974;
@@ -55,117 +74,103 @@ library MerkleTree
         IVs[28] = 6037428193077828806710267464232314380014232668931818917272972397574634037180;
     }
 
+    /** Compress an ordered (left, right) pair into the parent node. */
     function HashImpl (uint256 left, uint256 right, uint256 IV)
         internal pure returns (uint256)
     {
-        uint256[] memory x = new uint256[](2);
-        x[0] = left;
-        x[1] = right;
-        return MiMC_hash.MiMCpe7_mp(x, IV);
+        uint256[] memory pair = new uint256[](2);
+        pair[0] = left;
+        pair[1] = right;
+        return MiMC_hash.MiMCpe7_mp(pair, IV);
     }
 
-    /** Unique placeholder for a not-yet-filled node at (depth, index). */
-    function GetUniqueLeaf(uint256 depth, uint256 offset, uint256 leaf)
+    /** Stored node value, or the coordinate-derived placeholder when the
+      * slot was never written (leaf == 0 marks an absent node: a real
+      * leaf is required nonzero by Insert, and interior nodes are MiMC
+      * outputs, never zero in practice). */
+    function GetUniqueLeaf (uint256 depth, uint256 offset, uint256 leaf)
         internal pure returns (uint256)
     {
-        if (leaf == 0x0)
-        {
-            leaf = uint256(
-                sha256(abi.encodePacked(uint16(depth), uint240(offset)))
-            ) % MiMC_hash.ScalarField();
+        if (leaf != 0) {
+            return leaf;
         }
-        return leaf;
+        bytes32 h = sha256(abi.encodePacked(uint16(depth), uint240(offset)));
+        return uint256(h) % MiMC_hash.ScalarField();
     }
 
-    function Insert(Data storage self, uint256 leaf)
+    function Insert (Data storage self, uint256 leaf)
         internal returns (uint256 new_root, uint256 offset)
     {
-        require( leaf != 0, "empty leaf" );
-
-        uint256[29] memory IVs;
-        FillLevelIVs(IVs);
-
+        require( leaf != 0, "MerkleTree: empty leaf" );
         offset = self.cur;
-        require( offset < MAX_LEAF_COUNT, "tree full" );
+        require( offset < MAX_LEAF_COUNT, "MerkleTree: tree full" );
 
         self.leaves[0][offset] = leaf;
-
-        new_root = UpdateTree(self, IVs);
+        new_root = UpdateTree(self, offset);
         self.roots[new_root] = true;
         self.cur = offset + 1;
     }
 
-    function UpdateTree(Data storage self, uint256[29] memory IVs)
-        internal returns (uint256 root)
+    /** Recompute the root path above leaf slot `index` after a write.
+      * One sibling load (or placeholder derivation) + one compression per
+      * row; the sibling side falls out of the index's low bit. */
+    function UpdateTree (Data storage self, uint256 index)
+        internal returns (uint256)
     {
-        uint256 current_index = self.cur;
-        uint256 left;
-        uint256 right;
+        uint256[29] memory ivs;
+        FillLevelIVs(ivs);
 
-        for (uint256 depth = 0; depth < TREE_DEPTH; depth++)
+        uint256 node = self.leaves[0][index];
+        for (uint256 row = 0; row < TREE_DEPTH; row++)
         {
-            uint256 next_index = current_index / 2;
-            if (current_index % 2 == 0)
-            {
-                left = self.leaves[depth][current_index];
-                right = GetUniqueLeaf(
-                    depth, current_index + 1,
-                    self.leaves[depth][current_index + 1]);
-            }
-            else
-            {
-                left = GetUniqueLeaf(
-                    depth, current_index - 1,
-                    self.leaves[depth][current_index - 1]);
-                right = self.leaves[depth][current_index];
-            }
-            self.leaves[depth + 1][next_index] =
-                HashImpl(left, right, IVs[depth]);
-            current_index = next_index;
+            uint256 sib = index ^ 1;
+            uint256 sibVal = GetUniqueLeaf(
+                row, sib, self.leaves[row][sib]);
+            node = (index & 1) == 0
+                ? HashImpl(node, sibVal, ivs[row])
+                : HashImpl(sibVal, node, ivs[row]);
+            index >>= 1;
+            self.leaves[row + 1][index] = node;
         }
-        return self.leaves[TREE_DEPTH][0];
+        return node;
     }
 
-    function VerifyPath(
-        uint256 leaf, uint256[29] memory in_path, bool[29] memory address_bits)
+    /** Fold a leaf up its authentication path; address_bits[d] is true
+      * when the path node sits on the LEFT at row d. */
+    function VerifyPath (
+        uint256 leaf, uint256[29] memory in_path,
+        bool[29] memory address_bits)
         internal pure returns (uint256 merkleRoot)
     {
-        uint256[29] memory IVs;
-        FillLevelIVs(IVs);
+        uint256[29] memory ivs;
+        FillLevelIVs(ivs);
 
         merkleRoot = leaf;
-        for (uint256 depth = 0; depth < TREE_DEPTH; depth++)
+        for (uint256 row = 0; row < TREE_DEPTH; row++)
         {
-            if (address_bits[depth])
-            {
-                merkleRoot = HashImpl(in_path[depth], merkleRoot, IVs[depth]);
-            }
-            else
-            {
-                merkleRoot = HashImpl(merkleRoot, in_path[depth], IVs[depth]);
-            }
+            merkleRoot = address_bits[row]
+                ? HashImpl(in_path[row], merkleRoot, ivs[row])
+                : HashImpl(merkleRoot, in_path[row], ivs[row]);
         }
     }
 
-    function GetRoot (Data storage self)
-        internal view returns (uint256)
+    function GetRoot (Data storage self) internal view returns (uint256)
     {
         return self.leaves[TREE_DEPTH][0];
     }
 
+    /** Authentication path + side bits for leaf slot `index`. */
     function GetProof (Data storage self, uint256 index)
         internal view returns (uint256[29] memory proof_path,
                                bool[29] memory address_bits)
     {
-        uint256 current_index = index;
-        for (uint256 depth = 0; depth < TREE_DEPTH; depth++)
+        for (uint256 row = 0; row < TREE_DEPTH; row++)
         {
-            address_bits[depth] = (current_index % 2 != 0);
-            uint256 sibling = (current_index % 2 == 0)
-                ? current_index + 1 : current_index - 1;
-            proof_path[depth] = GetUniqueLeaf(
-                depth, sibling, self.leaves[depth][sibling]);
-            current_index = current_index / 2;
+            uint256 sib = index ^ 1;
+            address_bits[row] = (index & 1) != 0;
+            proof_path[row] = GetUniqueLeaf(
+                row, sib, self.leaves[row][sib]);
+            index >>= 1;
         }
     }
 }

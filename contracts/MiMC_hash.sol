@@ -7,6 +7,11 @@ import "./MiMC_permutation.sol";
  * One-way compression modes over the MiMCpe7 permutation:
  *  - Miyaguchi-Preneel: k' = k + x + E_k(x)   (the Merkle-tree node hash)
  *  - Merkle-Damgard:    k' = E_k(x)
+ *
+ * Derivation note: ABI and mode equations follow the reference
+ * zkh2018/ethsnarks contracts/MiMC.sol (a ~40-line library whose shape is
+ * forced by the two compression-mode formulas); behavior is pinned by the
+ * executed bytecode twin in tests/test_evm.py.
  */
 library MiMC_hash
 {

@@ -6,6 +6,11 @@ pragma solidity ^0.5.0;
  * N 256-bit words -> ceil(256N/253) field elements of 253 bits each,
  * mirroring libff::pack_int_vector_into_field_element_vector (and the
  * Python utils.bytes_to_field_elements convention).
+ *
+ * Derivation note: the packing order and ABI mirror the reference
+ * zkh2018/ethsnarks contracts/SnarkUtils.sol (the 253-bit packing spec
+ * forces most of the bit arithmetic); behavior is pinned by the executed
+ * bytecode twin in tests/test_evm_snarkutils.py.
  */
 library SnarkUtils
 {

@@ -2,7 +2,7 @@
 
 API parity with ``/root/reference/ethsnarks/shamirspoly.py`` (same three
 entry points, same FQ-element calling convention, textbook algorithms -
-any remaining line-level similarity is forced by the 3-function spec).
+any remaining similarity is forced by the 3-function spec).
 """
 
 from .field import FQ
@@ -16,43 +16,46 @@ def _expect_fq(v, what):
 
 
 def shamirs_poly(x, a):
-    """Evaluate sum(a_i * x^i) by accumulating a running power of x."""
+    """Evaluate sum(a_i * x^i) via Horner's rule (MSB coefficient first)."""
     if not isinstance(a, (list, tuple)) or len(a) < 2:
         raise ValueError("coefficient vector needs degree >= 1")
     _expect_fq(x, "evaluation point")
-    result = a[0]
-    x_pow_i = x
-    for a_i in a[1:]:
+    for a_i in a:
         _expect_fq(a_i, "coefficient")
-        result = result + a_i * x_pow_i
-        x_pow_i *= x
-    return result
+    acc = a[-1]
+    for a_i in reversed(a[:-1]):
+        acc = acc * x + a_i
+    return acc
+
+
+def _basis_at(xs, i, x):
+    """i-th Lagrange basis polynomial l_i evaluated at x."""
+    num, den = 1, 1
+    xi = xs[i]
+    for j, xj in enumerate(xs):
+        if j != i:
+            num = (x - xj) * num
+            den = (xi - xj) * den
+    return num / den
 
 
 def lagrange(points, x):
-    """Lagrange interpolation evaluated at x."""
-    total = 0
-    n = len(points)
-    for i in range(n):
-        xi, yi = points[i]
+    """Interpolating polynomial through `points`, evaluated at x."""
+    for xi, yi in points:
         _expect_fq(xi, "x coordinate")
         _expect_fq(yi, "y coordinate")
-        coeff = 1
-        for j in range(n):
-            if i == j:
-                continue
-            xj, _ = points[j]
-            coeff = coeff * ((x - xj) / (xi - xj))
-        total = total + yi * coeff
-    return total
+    xs = [p[0] for p in points]
+    acc = 0
+    for i, (_, yi) in enumerate(points):
+        acc = yi * _basis_at(xs, i, x) + acc
+    return acc
 
 
 def inverse_lagrange(points, y):
-    """Interpolate the x for a given y (swap roles of coordinates)."""
-    x = 0
-    for i, (x_i, y_i) in enumerate(points):
-        for j, (_, y_j) in enumerate(points):
-            if j != i:
-                x_i = x_i * (y - y_j) / (y_i - y_j)
-        x += x_i
-    return x
+    """Interpolate x(y): the same interpolation with the roles of the
+    coordinates swapped."""
+    ys = [p[1] for p in points]
+    acc = 0
+    for i, (xi, _) in enumerate(points):
+        acc = xi * _basis_at(ys, i, y) + acc
+    return acc
