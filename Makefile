@@ -30,7 +30,13 @@ python-test-all:
 # Nightly/pre-release cadence: the device+slow tiers exercise the exact
 # regression classes (254-bit envelopes, sharded prover, merged-tail) the
 # default host tier cannot - run this on a schedule, not per-commit.
-ci-nightly: python-test python-test-device python-test-slow native-test
+# Static analysis (reference Makefile:137-156 wires pyflakes/pylint/
+# solhint; none ship in this image, so tools/lint.py implements the
+# equivalent checks with stdlib ast/tokenize - exits 1 on any finding).
+lint:
+	$(PYTHON) tools/lint.py
+
+ci-nightly: lint python-test python-test-device python-test-slow native-test
 
 native:
 	$(MAKE) -C native
@@ -57,6 +63,6 @@ clean:
 	$(MAKE) -C native clean
 	rm -rf .pytest_cache
 
-.PHONY: all test python-test python-test-device python-test-slow \
+.PHONY: all test lint python-test python-test-device python-test-slow \
 	python-test-all ci-nightly native native-test bench bench-workloads \
 	artifacts clean

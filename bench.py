@@ -36,7 +36,6 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from ethsnarks_tpu.ops.fp import Fq
 from ethsnarks_tpu.ops import msm as msm_ops
 from ethsnarks_tpu.bn254 import G1_GEN, CURVE_ORDER, multiply, add
 

@@ -10,7 +10,6 @@ import sys
 import time
 import random
 
-from ethsnarks_tpu.field import FQ
 from ethsnarks_tpu.jubjub import Point, JUBJUB_L, mult_naf_lut
 
 _rng = random.Random(99)

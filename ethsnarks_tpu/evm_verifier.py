@@ -25,7 +25,7 @@ Returns one word: 1 (accept) / 0 (pairing says no); REVERTs on bad input
 encodings, inputs >= r, or precompile failure.
 """
 
-from .evmasm import Assembler, execute, EvmError
+from .evmasm import Assembler, execute
 
 SNARK_SCALAR_FIELD = 21888242871839275222246405745257275088548364400416034343698204186575808495617
 PRIME_Q = 21888242871839275222246405745257275088696311157297823662689037894645226208583

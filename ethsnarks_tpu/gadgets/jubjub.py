@@ -11,11 +11,10 @@ from collections import namedtuple
 from ..r1cs import Gadget, LinearCombination
 from ..field import FQ, SNARK_SCALAR_FIELD
 from ..jubjub import (
-    Point, EtecPoint, JUBJUB_A, JUBJUB_D, MONT_A, JUBJUB_L)
+    Point, EtecPoint, JUBJUB_A, JUBJUB_D, MONT_A)
 from ..pedersen import pedersen_hash_basepoint, N_WINDOWS_PER_BASEPOINT
 from .basics import (
-    lookup_2bit_gadget, lookup_signed_3bit_gadget, IsNonZero,
-    field2bits_strict, boolean_constrain)
+    lookup_2bit_gadget, lookup_signed_3bit_gadget, IsNonZero, field2bits_strict)
 
 P = SNARK_SCALAR_FIELD
 

@@ -13,7 +13,6 @@ Role of src/gadgets/sha256_full.hpp and src/gadgets/sha256_many.{hpp,cpp}
 Oracle: hashlib.sha256 (tests pin digests and Ethereum-compatible padding).
 """
 
-import hashlib
 
 from ..r1cs import Gadget, LinearCombination
 from ..field import SNARK_SCALAR_FIELD

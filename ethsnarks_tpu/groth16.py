@@ -58,7 +58,7 @@ from .field import SNARK_SCALAR_FIELD
 from .qap import QAP
 from . import bn254
 from .bn254 import (
-    G1_GEN, G2_GEN, multiply, add, neg, Fq, Fq2)
+    G1_GEN, G2_GEN, multiply, add, neg)
 from .verifier import VerifyingKey, Proof
 
 P = SNARK_SCALAR_FIELD
@@ -186,8 +186,17 @@ def generator(cs, rng=None, device_exp='auto', zk=False):
     zk: also keep the zk-form extras (delta_g1, beta_g1, G1 B-query) so
     the prover can add r/s blinding (prove(..., blind=True)).  The fork's
     default is the nozk key: deterministic proofs, smaller key."""
+    import time as _time
+    profile = os.environ.get("ETHSNARKS_SETUP_PROFILE") == "1"
+    marks = [('start', _time.perf_counter())]
+
+    def mark(name):
+        if profile:
+            marks.append((name, _time.perf_counter()))
+
     rng = rng or (lambda: secrets.randbelow(P - 1) + 1)
     qap = QAP(cs)
+    mark('qap_build')
     if device_exp == 'auto':
         import jax
         try:
@@ -204,6 +213,7 @@ def generator(cs, rng=None, device_exp='auto', zk=False):
     delta_inv = pow(delta, -1, P)
 
     At, Bt, Ct, Zt = qap.instance_map(t)
+    mark('instance_map')
     nv = qap.num_variables
     ni = qap.num_inputs
     m = qap.domain_size
@@ -219,8 +229,10 @@ def generator(cs, rng=None, device_exp='auto', zk=False):
     # Sparse queries (drop zero entries - the nozk key conversion).
     a_idx = [i for i in range(nv) if At[i]]
     a_query = list(zip(a_idx, g1.mul_many([At[i] for i in a_idx])))
+    mark('a_query')
     b_idx = [i for i in range(nv) if Bt[i]]
     b_query = list(zip(b_idx, g2.mul_many([Bt[i] for i in b_idx])))
+    mark('b_query_g2')
 
     # H query: (t^i * Z(t) / delta) G1, stored bit-reversed.
     zt_delta = Zt * delta_inv % P
@@ -232,16 +244,19 @@ def generator(cs, rng=None, device_exp='auto', zk=False):
     bitrev = qap.domain.bitrev
     h_query_bitrev = g1.mul_many(
         [h_scalar[int(bitrev[p])] for p in range(m)])
+    mark('h_query')
 
     # L query (aux variables): (beta*A_i + alpha*B_i + C_i)/delta * G1.
     l_query = g1.mul_many(
         [(beta * At[i] + alpha * Bt[i] + Ct[i]) % P * delta_inv % P
          for i in range(ni + 1, nv)])
+    mark('l_query')
 
     # vk
     gamma_abc = g1.mul_many(
         [(beta * At[i] + alpha * Bt[i] + Ct[i]) % P * gamma_inv % P
          for i in range(0, ni + 1)])
+    mark('gamma_abc')
     assert all(p is not None for p in gamma_abc), \
         "zero gammaABC entry; input variable unused"
 
@@ -268,6 +283,11 @@ def generator(cs, rng=None, device_exp='auto', zk=False):
         l_query=l_query,
         num_inputs=ni,
         **zk_extras)
+    mark('vk_pk')
+    if profile:
+        spans = ['%s=%.2fs' % (n, tt - marks[i][1])
+                 for i, (n, tt) in enumerate(marks[1:])]
+        print('[setup profile] ' + ' '.join(spans), flush=True)
     return Keypair(pk, vk)
 
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from ..r1cs import ConstraintSystem
 from ..gadgets import merkle_path_authenticator
 from ..gadgets.merkle import merkle_tree_IVs
-from ..merkletree import MerkleTree
 from ..field import SNARK_SCALAR_FIELD
 from ..ops.fp import Fr
 from ..ops.mimc import mimc_mp_witness_device

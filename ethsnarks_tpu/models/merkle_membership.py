@@ -9,7 +9,6 @@ path siblings.
 from ..r1cs import ConstraintSystem
 from ..gadgets import merkle_path_authenticator
 from ..merkletree import MerkleTree
-from ..field import SNARK_SCALAR_FIELD
 
 
 class MerkleMembership(object):

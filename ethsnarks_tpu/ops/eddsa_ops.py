@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from .fp import Fr
 from . import jubjub_ops as jj
-from ..jubjub import Point
 from ..eddsa import PureEdDSA
 
 L = Fr.L

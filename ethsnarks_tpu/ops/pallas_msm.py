@@ -33,8 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .pallas_ops import (
-    _HAS_PALLAS, L, _mk_field_ops, _g1_consts, _g1_add_body,
-    _g1_double_body, use_pallas)
+    _HAS_PALLAS, L, _mk_field_ops, _g1_consts, _g1_add_body, _g1_double_body)
 
 if _HAS_PALLAS:
     from jax.experimental import pallas as pl

@@ -12,9 +12,7 @@ test/test_verify.py must verify True.
 """
 
 from .bn254 import (
-    Fq, Fq2, Fq12, FIELD_MODULUS, CURVE_ORDER, ATE_LOOP_COUNT,
-    add, double, neg, is_inf, multiply, is_on_curve, B1, B2,
-)
+    Fq12, FIELD_MODULUS, CURVE_ORDER, ATE_LOOP_COUNT, add, double, is_inf, is_on_curve, B1, B2)
 
 # w in Fq12.
 _W = Fq12([0, 1] + [0] * 10)

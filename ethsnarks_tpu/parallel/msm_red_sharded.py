@@ -39,9 +39,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import msm_red
 from ..ops.msm_red import (
-    RL, _msm_dense_traced, _msm_scan_accum, _leaves, _nest, _cmapf,
-    _padded_add, _g1_consts_red, _g2_b3_red, static_msm_plan,
-    merge_top_window_np, _pow2ceil, _validate_digit_contract)
+    _msm_dense_traced, _msm_scan_accum, _leaves, _nest, _cmapf, _padded_add, _g1_consts_red, _g2_b3_red, static_msm_plan, merge_top_window_np, _pow2ceil, _validate_digit_contract)
 from .mesh import AXIS
 
 

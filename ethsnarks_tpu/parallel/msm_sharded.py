@@ -7,7 +7,6 @@ monoid over raw limbs, so the combine happens explicitly on gathered
 points - n is the device count, so this is negligible work).
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

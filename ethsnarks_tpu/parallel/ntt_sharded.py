@@ -17,9 +17,7 @@ DIT = bit-reversed -> natural, so the witness-map pipeline composes without
 any global permutation.
 """
 
-from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax

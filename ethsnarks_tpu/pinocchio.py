@@ -14,7 +14,7 @@ genkeys/prove/verify/eval/trace/test pipeline works.
 import sys
 
 from .field import SNARK_SCALAR_FIELD
-from .r1cs import ConstraintSystem, LinearCombination, Variable
+from .r1cs import ConstraintSystem, LinearCombination
 
 P = SNARK_SCALAR_FIELD
 

@@ -8,7 +8,6 @@ reference's BINARY_OUTPUT/MONTGOMERY_OUTPUT key files - the pk *is* the
 checkpoint, SURVEY.md §5.4); legacy pickle files still load.
 """
 
-import json
 import pickle
 
 from .groth16 import generator, ProverContext

@@ -7,7 +7,7 @@ import random
 import unittest
 
 from ethsnarks_tpu.field import SNARK_SCALAR_FIELD
-from ethsnarks_tpu.evmasm import execute, Assembler, deployable
+from ethsnarks_tpu.evmasm import execute, Assembler
 from ethsnarks_tpu.mimc import mimc
 from ethsnarks_tpu.mimc.contract import mimc_contract
 from ethsnarks_tpu.mimc.contract_sol import mimc_contract_solidity

@@ -3,7 +3,7 @@ import random
 import unittest
 
 from ethsnarks_tpu.field import SNARK_SCALAR_FIELD
-from ethsnarks_tpu.r1cs import ConstraintSystem, LinearCombination, ONE
+from ethsnarks_tpu.r1cs import ConstraintSystem, LinearCombination
 from ethsnarks_tpu.gadgets import (
     MiMCe7_gadget, MiMCe5_gadget, MiyaguchiPreneel_OWF,
     merkle_path_authenticator, lookup_1bit_gadget, lookup_2bit_gadget,

@@ -2,16 +2,12 @@
 import unittest
 
 from ethsnarks_tpu.field import FQ, SNARK_SCALAR_FIELD
-from ethsnarks_tpu.r1cs import ConstraintSystem, LinearCombination
-from ethsnarks_tpu.jubjub import Point, JUBJUB_L
+from ethsnarks_tpu.r1cs import ConstraintSystem
+from ethsnarks_tpu.jubjub import Point
 from ethsnarks_tpu.pedersen import pedersen_hash_bits
 from ethsnarks_tpu.eddsa import PureEdDSA
 from ethsnarks_tpu.gadgets.jubjub import (
-    VariablePoint, PointAdder, PointDoubler, ConditionalPoint,
-    MontgomeryAdder, MontgomeryToEdwards, fixed_base_mul, ScalarMult,
-    IsOnCurve, NotLowOrder, PointValidator, fixed_base_mul_zcash,
-    PedersenHash, PureEdDSA_gadget, basepoints_required)
-from ethsnarks_tpu.pedersen import pedersen_hash_basepoint
+    VariablePoint, PointAdder, PointDoubler, ConditionalPoint, MontgomeryAdder, MontgomeryToEdwards, fixed_base_mul, ScalarMult, NotLowOrder, PointValidator, PedersenHash, PureEdDSA_gadget)
 
 P = SNARK_SCALAR_FIELD
 

@@ -9,11 +9,11 @@ Vectors pinned from the reference suite:
 import unittest
 from os import urandom
 
-from ethsnarks_tpu.field import FQ, SNARK_SCALAR_FIELD
+from ethsnarks_tpu.field import FQ
 from ethsnarks_tpu.jubjub import (
-    Point, EtecPoint, ProjPoint, JUBJUB_L, JUBJUB_C, mult_naf, mult_naf_lut)
+    Point, JUBJUB_L, mult_naf, mult_naf_lut)
 from ethsnarks_tpu.pedersen import (
-    pedersen_hash_bytes, pedersen_hash_bits, pedersen_hash_scalars)
+    pedersen_hash_bytes, pedersen_hash_scalars)
 from ethsnarks_tpu.eddsa import EdDSA, PureEdDSA, MiMCEdDSA
 from ethsnarks_tpu.merkletree import MerkleTree, DEFAULT_HASHER, MerkleHasher_Poseidon
 

@@ -2,12 +2,11 @@
 import random
 import unittest
 
-import numpy as np
 import jax
 
 from ethsnarks_tpu import bn254
 from ethsnarks_tpu.bn254 import (
-    G1_GEN, G2_GEN, multiply, add, neg, CURVE_ORDER)
+    G1_GEN, G2_GEN, multiply, add, CURVE_ORDER)
 from ethsnarks_tpu.ops import curve, msm
 
 

@@ -6,7 +6,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ethsnarks_tpu.field import FQ
 from ethsnarks_tpu.jubjub import Point, JUBJUB_L
 from ethsnarks_tpu.pedersen import pedersen_hash_bits
 from ethsnarks_tpu.eddsa import PureEdDSA

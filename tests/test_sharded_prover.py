@@ -17,7 +17,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 from ethsnarks_tpu.field import SNARK_SCALAR_FIELD
-from ethsnarks_tpu.bn254 import G1_GEN, G2_GEN, CURVE_ORDER, multiply, add
+from ethsnarks_tpu.bn254 import G1_GEN, CURVE_ORDER, multiply, add
 from ethsnarks_tpu.parallel.mesh import make_mesh
 
 P = SNARK_SCALAR_FIELD

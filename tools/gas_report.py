@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from ethsnarks_tpu.field import SNARK_SCALAR_FIELD, FQ
+from ethsnarks_tpu.field import SNARK_SCALAR_FIELD
 from ethsnarks_tpu.evmasm import execute
 
 P = SNARK_SCALAR_FIELD

@@ -22,7 +22,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from ethsnarks_tpu.bn254 import G1_GEN, multiply
 from ethsnarks_tpu.ops import curve as curve_ops
-from ethsnarks_tpu.ops import msm as msm_ops
 from ethsnarks_tpu.ops.pallas_ops import L, g1_point_add_pallas
 from ethsnarks_tpu.ops import pallas_msm
 
