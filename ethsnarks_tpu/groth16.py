@@ -461,10 +461,15 @@ class ProverContext(object):
             kw = {}
             if self.config.msm_max_lanes:
                 kw['max_lanes'] = self.config.msm_max_lanes
+            static_plan = self._static(False)
+            if not static_plan:
+                # host planning needs the digits; static keeps them
+                # device-resident (np.asarray here cost a 21MB download
+                # per proof at 2^18 - the tunnel reads ~7.5MB/s)
+                digits = np.asarray(digits)
             try:
                 return msm_red.msm_g2_dense_red(
-                    pts_dev, np.asarray(digits), c,
-                    static_plan=self._static(False), **kw)
+                    pts_dev, digits, c, static_plan=static_plan, **kw)
             except Exception as exc:
                 # Fall back on anything that smells like a compile-service
                 # failure (not just the one wording round 4 happened to

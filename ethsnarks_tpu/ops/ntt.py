@@ -92,43 +92,97 @@ class NttDomain:
         g_pows_inv = [pow(g, -int(i), R) for i in self.bitrev]
         self.coset_scale_bitrev = _mont_np(g_pows)          # (L, m)
         self.coset_unscale_bitrev = _mont_np(g_pows_inv)    # (L, m)
+        # Fused ifft+coset scales (one pointwise pass instead of two in
+        # the witness map): g^i/m and g^-i/m in bitrev order.
+        self.coset_scale_m_inv_bitrev = _mont_np(
+            [p * self.m_inv % R for p in g_pows])
+        self.coset_unscale_m_inv_bitrev = _mont_np(
+            [p * self.m_inv % R for p in g_pows_inv])
         self.m_inv_mont = _mont_np([self.m_inv])            # (L, 1)
         z_coset = (pow(g, m, R) - 1) % R                    # Z_H(coset) const
         self.z_coset_inv_mont = _mont_np([pow(z_coset, -1, R)])
 
     # ---- butterfly drivers (traceable) ----
 
+    # Small-span butterfly stages (span <= _T) run in a TRANSPOSED layout:
+    # with the classic flat view, stage s's minor dimension is m >> (s+1),
+    # which collapses to 64..1 lanes in the last log2(_T) stages - the VPU
+    # pads every op to 128 lanes and utilization craters (measured: ~2.0s
+    # per 2^18 transform, 14 of the 15.5s warm witness map).  Blocks of _T
+    # elements are transposed to the MAJOR axis instead, so every op keeps
+    # >= total/_T lanes minor; the butterfly index sets, twiddle pairing
+    # and final element order are bit-identical to the classic loop.
+    #
+    # Both drivers also accept a BATCHED input (L, B*m) of B independent
+    # m-vectors (m-aligned): spans never cross an m boundary, so the same
+    # reshapes apply - the witness map runs its three iFFTs as one call.
+    _T = 512
+
     def _dif(self, x, twiddles):
         """Natural -> bit-reversed Cooley-Tukey DIF.
-        Butterfly: (u, v) -> (u + v, (u - v) * w^j)."""
-        m = self.m
-        x = x.reshape(Fr.L, 1, m)
-        for s in range(self.k):
+        Butterfly: (u, v) -> (u + v, (u - v) * w^j).
+        x: (L, m) or (L, B*m) for B stacked independent transforms."""
+        m, k = self.m, self.k
+        total = int(np.prod(x.shape[1:]))
+        x = x.reshape(Fr.L, total)
+        T = min(m, self._T)
+        kt = T.bit_length() - 1
+        for s in range(k - kt):
             n = m >> s
             half = n // 2
+            x = x.reshape(Fr.L, total // n, n)
             u = x[:, :, :half]
             v = x[:, :, half:]
             tw = jnp.asarray(twiddles[s])[:, None, :]  # (L, 1, half)
             a = Fr.add(u, v)
             b = Fr.mul(Fr.sub(u, v), jnp.broadcast_to(tw, u.shape))
-            x = jnp.concatenate([a, b], axis=2).reshape(Fr.L, 1 << (s + 1), half)
-        return x.reshape(Fr.L, m)
+            x = jnp.concatenate([a, b], axis=2)
+        nb = total // T
+        x = jnp.swapaxes(x.reshape(Fr.L, nb, T), 1, 2)  # (L, T, nb)
+        for s in range(k - kt, k):
+            n = m >> s
+            half = n // 2
+            x = x.reshape(Fr.L, T // n, n, nb)
+            u = x[:, :, :half, :]
+            v = x[:, :, half:, :]
+            tw = jnp.asarray(twiddles[s])[:, None, :, None]
+            a = Fr.add(u, v)
+            b = Fr.mul(Fr.sub(u, v), jnp.broadcast_to(tw, u.shape))
+            x = jnp.concatenate([a, b], axis=2)
+        x = jnp.swapaxes(x.reshape(Fr.L, T, nb), 1, 2)
+        return x.reshape(Fr.L, total)
 
     def _dit(self, x, twiddles):
         """Bit-reversed -> natural Gentleman-Sande-inverse DIT.
-        Butterfly: (u, v) -> (u + v*w^j, u - v*w^j)."""
-        m = self.m
-        x = x.reshape(Fr.L, m, 1)
-        for s in range(self.k - 1, -1, -1):
+        Butterfly: (u, v) -> (u + v*w^j, u - v*w^j).
+        x: (L, m) or (L, B*m) for B stacked independent transforms."""
+        m, k = self.m, self.k
+        total = int(np.prod(x.shape[1:]))
+        x = x.reshape(Fr.L, total)
+        T = min(m, self._T)
+        kt = T.bit_length() - 1
+        nb = total // T
+        x = jnp.swapaxes(x.reshape(Fr.L, nb, T), 1, 2)  # (L, T, nb)
+        for s in range(k - 1, k - kt - 1, -1):
             n = m >> s
             half = n // 2
-            x = x.reshape(Fr.L, 1 << s, n)
+            x = x.reshape(Fr.L, T // n, n, nb)
+            u = x[:, :, :half, :]
+            v = x[:, :, half:, :]
+            tw = jnp.asarray(twiddles[s])[:, None, :, None]
+            t = Fr.mul(v, jnp.broadcast_to(tw, v.shape))
+            x = jnp.concatenate([Fr.add(u, t), Fr.sub(u, t)], axis=2)
+        x = jnp.swapaxes(x.reshape(Fr.L, T, nb), 1, 2)
+        for s in range(k - kt - 1, -1, -1):
+            n = m >> s
+            half = n // 2
+            x = x.reshape(Fr.L, total // n, n)
             u = x[:, :, :half]
             v = x[:, :, half:]
             tw = jnp.asarray(twiddles[s])[:, None, :]
             t = Fr.mul(v, jnp.broadcast_to(tw, v.shape))
             x = jnp.concatenate([Fr.add(u, t), Fr.sub(u, t)], axis=2)
-        return x.reshape(Fr.L, m)
+        return x.reshape(Fr.L, total)
 
     # ---- high-level transforms (traceable) ----
 

@@ -70,6 +70,8 @@ class QAP(object):
             tw_inv=tuple(jnp.asarray(t) for t in d.tw_inv),
             coset_scale=jnp.asarray(d.coset_scale_bitrev),
             coset_unscale=jnp.asarray(d.coset_unscale_bitrev),
+            coset_scale_mi=jnp.asarray(d.coset_scale_m_inv_bitrev),
+            coset_unscale_mi=jnp.asarray(d.coset_unscale_m_inv_bitrev),
             m_inv=jnp.asarray(d.m_inv_mont),
             z_inv=jnp.asarray(d.z_coset_inv_mont),
         )
@@ -96,8 +98,14 @@ class QAP(object):
     def _witness_map_params(self, witness_mont, big):
         """Pure-parameter witness map body: `big` carries the COO matrices
         and NTT constant planes (see __init__ note).  Value-identical to
-        the NttDomain method composition."""
+        the NttDomain method composition.
+
+        The three iFFT+coset-FFT chains run as ONE batched (L, 3m)
+        transform pair (the NTT drivers accept stacked m-aligned vectors)
+        with the 1/m and coset scales fused into a single pointwise pass -
+        measured 2^18 witness map 15.1s -> see PROVE_r05 notes."""
         d = self.domain
+        m = self.domain_size
         aA = self._matvec('a', witness_mont, big['a'])
         aB = self._matvec('b', witness_mont, big['b'])
         aC = self._matvec('c', witness_mont, big['c'])
@@ -106,24 +114,16 @@ class QAP(object):
         inputs = witness_mont[:, :self.num_inputs + 1]  # includes ONE
         aA = jax.lax.dynamic_update_slice(aA, inputs, (0, n))
 
-        def ifft_bitrev(x):
-            y = d._dif(x, big['tw_inv'])
-            return Fr.mul(y, jnp.broadcast_to(big['m_inv'], y.shape))
-
-        def coset_fft(cb):
-            return d._dit(Fr.mul(cb, big['coset_scale']), big['tw_fwd'])
-
-        cA = ifft_bitrev(aA)
-        cB = ifft_bitrev(aB)
-        cC = ifft_bitrev(aC)
-        eA = coset_fft(cA)
-        eB = coset_fft(cB)
-        eC = coset_fft(cC)
+        abc = jnp.concatenate([aA, aB, aC], axis=1)       # (L, 3m)
+        c3 = d._dif(abc, big['tw_inv'])
+        c3 = Fr.mul(c3.reshape(Fr.L, 3, m),
+                    big['coset_scale_mi'][:, None, :]).reshape(Fr.L, 3 * m)
+        e3 = d._dit(c3, big['tw_fwd']).reshape(Fr.L, 3, m)
+        eA, eB, eC = e3[:, 0], e3[:, 1], e3[:, 2]
         ab_c = Fr.sub(Fr.mul(eA, eB), eC)
         h_evals = Fr.mul(ab_c, jnp.broadcast_to(big['z_inv'], ab_c.shape))
         y = d._dif(h_evals, big['tw_inv'])
-        y = Fr.mul(y, jnp.broadcast_to(big['m_inv'], y.shape))
-        return Fr.mul(y, big['coset_unscale'])
+        return Fr.mul(y, big['coset_unscale_mi'])
 
     def _witness_map(self, witness_mont):
         """witness_mont: (L, num_variables) Montgomery (col 0 = ONE).
@@ -152,14 +152,21 @@ class QAP(object):
                     return self._matvec(name, w, (rows, cols, coeffs))
                 return run
 
+            m = self.domain_size
+
             jits = dict(
                 mv={n: mv(n) for n in ('a', 'b', 'c')},
                 dif=jax.jit(lambda x, tw: d._dif(x, tw)),
                 dit=jax.jit(lambda x, tw: d._dit(x, tw)),
                 mul=jax.jit(Fr.mul),
-                mul_b=jax.jit(lambda x, s: Fr.mul(
-                    x, jnp.broadcast_to(s, x.shape))),
-                absubc=jax.jit(lambda a, b, c: Fr.sub(Fr.mul(a, b), c)),
+                mul3=jax.jit(lambda x, s: Fr.mul(
+                    x.reshape(Fr.L, 3, m),
+                    s[:, None, :]).reshape(Fr.L, 3 * m)),
+                absubc_z=jax.jit(lambda e3, z: Fr.mul(
+                    Fr.sub(Fr.mul(e3[:, 0], e3[:, 1]), e3[:, 2]),
+                    jnp.broadcast_to(z, (Fr.L, m)))),
+                cat3=jax.jit(lambda a, b, c: jnp.concatenate(
+                    [a, b, c], axis=1)),
                 upd=jax.jit(lambda aA, inputs, n: jax.lax.dynamic_update_slice(
                     aA, inputs, (0, n)), static_argnums=(2,)),
             )
@@ -167,30 +174,25 @@ class QAP(object):
         return jits
 
     def _witness_map_split(self, w_mont):
-        """Same math as _witness_map_params, one device dispatch per
-        transform (compile economy for the remote service; slightly more
-        HBM traffic between stages)."""
+        """Same math as _witness_map_params, split into a handful of
+        dispatches (compile economy for the remote service; the batched
+        3-in-1 transforms keep each module at one NTT's size)."""
         big = self._big
         j = self._split_jits
+        m = self.domain_size
         n = self.num_constraints
         inputs = w_mont[:, :self.num_inputs + 1]
         aA = j['upd'](j['mv']['a'](w_mont, *big['a']), inputs, n)
         aB = j['mv']['b'](w_mont, *big['b'])
         aC = j['mv']['c'](w_mont, *big['c'])
 
-        def ifft_bitrev(x):
-            return j['mul_b'](j['dif'](x, big['tw_inv']), big['m_inv'])
-
-        def coset_fft(cb):
-            return j['dit'](j['mul'](cb, big['coset_scale']),
-                            big['tw_fwd'])
-
-        eA = coset_fft(ifft_bitrev(aA))
-        eB = coset_fft(ifft_bitrev(aB))
-        eC = coset_fft(ifft_bitrev(aC))
-        h_evals = j['mul_b'](j['absubc'](eA, eB, eC), big['z_inv'])
-        y = j['mul_b'](j['dif'](h_evals, big['tw_inv']), big['m_inv'])
-        return j['mul'](y, big['coset_unscale'])
+        abc = j['cat3'](aA, aB, aC)
+        c3 = j['mul3'](j['dif'](abc, big['tw_inv']),
+                       big['coset_scale_mi'])
+        e3 = j['dit'](c3, big['tw_fwd']).reshape(Fr.L, 3, m)
+        h_evals = j['absubc_z'](e3, big['z_inv'])
+        y = j['dif'](h_evals, big['tw_inv'])
+        return j['mul'](y, big['coset_unscale_mi'])
 
     def witness_map_device(self, witness_values):
         """Host ints -> device H coefficients (bitrev).  Returns jax array."""

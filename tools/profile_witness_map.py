@@ -44,6 +44,8 @@ def main():
     j = qap._split_jits
     n = qap.num_constraints
 
+    m = qap.domain_size
+
     def run_once(label):
         marks = [(label + ':start', time.perf_counter())]
 
@@ -61,30 +63,19 @@ def main():
         aC = j['mv']['c'](w_mont, *big['c'])
         mark('matvec_c', aC)
 
-        def ifft_bitrev(x):
-            return j['mul_b'](j['dif'](x, big['tw_inv']), big['m_inv'])
-
-        def coset_fft(cb):
-            return j['dit'](j['mul'](cb, big['coset_scale']),
-                            big['tw_fwd'])
-
-        cA = ifft_bitrev(aA)
-        mark('ifft_A', cA)
-        eA = coset_fft(cA)
-        mark('cosetfft_A', eA)
-        cB = ifft_bitrev(aB)
-        mark('ifft_B', cB)
-        eB = coset_fft(cB)
-        mark('cosetfft_B', eB)
-        cC = ifft_bitrev(aC)
-        mark('ifft_C', cC)
-        eC = coset_fft(cC)
-        mark('cosetfft_C', eC)
-        h_evals = j['mul_b'](j['absubc'](eA, eB, eC), big['z_inv'])
-        mark('absubc', h_evals)
-        y = j['mul_b'](j['dif'](h_evals, big['tw_inv']), big['m_inv'])
+        abc = j['cat3'](aA, aB, aC)
+        mark('cat3', abc)
+        y3 = j['dif'](abc, big['tw_inv'])
+        mark('dif3', y3)
+        c3 = j['mul3'](y3, big['coset_scale_mi'])
+        mark('scale3', c3)
+        e3 = j['dit'](c3, big['tw_fwd']).reshape(Fr.L, 3, m)
+        mark('dit3', e3)
+        h_evals = j['absubc_z'](e3, big['z_inv'])
+        mark('absubc_z', h_evals)
+        y = j['dif'](h_evals, big['tw_inv'])
         mark('final_dif', y)
-        out = j['mul'](y, big['coset_unscale'])
+        out = j['mul'](y, big['coset_unscale_mi'])
         mark('unscale', out)
         spans = ['%s=%.3fs' % (nm, t - marks[i][1])
                  for i, (nm, t) in enumerate(marks[1:])]
