@@ -459,18 +459,43 @@ class ProverContext(object):
         if impl == 'red':
             from .ops import msm_red
             kw = {}
-            if self.config.msm_max_lanes:
+            lanes_env = os.environ.get('ETHSNARKS_G2_LANES')
+            if lanes_env:
+                kw['max_lanes'] = int(lanes_env)
+            elif self.config.msm_max_lanes:
                 kw['max_lanes'] = self.config.msm_max_lanes
+            elif len(self.pk.b_query) >= (1 << 19):
+                # Fq2 doubles every dense plane: at 2^20-scale the default
+                # 2^22-lane budget puts a 2-window group slab + temps right
+                # at the HBM edge next to the resident keys (measured OOM
+                # by 271MB at 16GB); one window per group fits comfortably
+                kw['max_lanes'] = 1 << 21
             static_plan = self._static(False)
             if not static_plan:
                 # host planning needs the digits; static keeps them
                 # device-resident (np.asarray here cost a 21MB download
                 # per proof at 2^18 - the tunnel reads ~7.5MB/s)
                 digits = np.asarray(digits)
-            try:
-                return msm_red.msm_g2_dense_red(
-                    pts_dev, digits, c, static_plan=static_plan, **kw)
-            except Exception as exc:
+            import time as _t
+            retries = int(os.environ.get('ETHSNARKS_G2_RETRIES', '2'))
+            exc = None
+            for attempt in range(1 + retries):
+                try:
+                    return msm_red.msm_g2_dense_red(
+                        pts_dev, digits, c, static_plan=static_plan, **kw)
+                except Exception as e:
+                    exc = e
+                    if attempt < retries:
+                        # transient service hiccups (connection resets,
+                        # "response body closed") succeed on retry with a
+                        # warm server-side cache - retry before giving up
+                        # the single-dispatch path
+                        import sys
+                        print('[groth16] red G2 MSM attempt %d failed '
+                              '(%s); retrying' % (attempt + 1, e),
+                              file=sys.stderr, flush=True)
+                        _t.sleep(5)
+            if True:
                 # Fall back on anything that smells like a compile-service
                 # failure (not just the one wording round 4 happened to
                 # see); override/extend via ETHSNARKS_G2_FALLBACK_MARKERS.

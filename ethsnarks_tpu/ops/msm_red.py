@@ -908,6 +908,118 @@ def _jit_msm_dense_multi(b, c, g2, main_nw, n_groups, main_k,
     return run
 
 
+# ---------------- split-dispatch variant ----------------
+#
+# The single-dispatch module inlines the whole pipeline (group scan +
+# pairfold + Horner + tail + combine).  For G2 the Fq2 point bodies triple
+# the module size and the remote compile service rejects it at prover
+# scales (HTTP 413 / AOT rejection - see PROVE_r04.json).  The split
+# variant issues the SAME computation as a handful of small executables -
+# one per window group (all groups share one compiled program), one tail
+# pipeline, one group-Horner combine, one shift-and-add - trading a few
+# host round trips on the axon tunnel for tractable module sizes.  This is
+# the same medicine that fixed the 2^20 witness map (split per-transform
+# dispatches, round 4).
+
+@lru_cache(maxsize=None)
+def _jit_rows_table(g2):
+    """Points -> extended transposed gather table (b+1 rows incl. the
+    identity entry; see _pipeline's docstring)."""
+    n_planes = 6 if g2 else 3
+    rows_used = n_planes * RL
+    rows_pad = _pow2ceil(rows_used)
+    ident_np = _ident_table_np(g2)
+
+    @jax.jit
+    def run(points):
+        leaves = _leaves(points, g2)
+        rows = jnp.concatenate(leaves, axis=0)
+        rows = jnp.concatenate([rows, jnp.asarray(ident_np)], axis=1)
+        return jnp.pad(rows, ((0, rows_pad - rows_used), (0, 0))).T
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _jit_group_pipeline(b, c, k, nw, g2):
+    """ONE dense group as its own executable (reused across groups)."""
+
+    @jax.jit
+    def run(rows, digits_grp):
+        consts = jnp.asarray(_g1_consts_red())
+        b3 = jnp.asarray(_g2_b3_red()) if g2 else None
+        return _pipeline(consts, b3, rows, digits_grp, b, c, k, nw, g2)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _jit_groups_combine(c_per, n_groups, g2):
+    """Stack per-group results and run the group Horner."""
+
+    @jax.jit
+    def run(group_leaves):
+        consts = jnp.asarray(_g1_consts_red())
+        b3 = jnp.asarray(_g2_b3_red()) if g2 else None
+        stacked = [jnp.stack([g[i] for g in group_leaves], axis=0)
+                   for i in range(len(group_leaves[0]))]
+        return _group_horner(consts, b3, stacked, c_per, n_groups, g2)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _jit_shift_add(n_doubles, g2):
+    """res = 2^n_doubles * p + q at (RL, 128) ballast width."""
+
+    @jax.jit
+    def run(p_leaves, q_leaves):
+        consts = jnp.asarray(_g1_consts_red())
+        b3 = jnp.asarray(_g2_b3_red()) if g2 else None
+        return _double_n_add(consts, b3, list(p_leaves), list(q_leaves),
+                             n_doubles, g2)
+
+    return run
+
+
+def _msm_dense_split(points, dm, dt, b, c, g2, main_nw, n_groups, main_k,
+                     tail_start, tail_nw, tail_k, tail_c):
+    """Split-dispatch twin of _jit_msm_dense_multi: identical math and
+    layout contract, one executable per stage.  Returns (nested (RL, 1)
+    coords, python-bool overflow flag)."""
+    rows = _jit_rows_table(g2)(points)
+    ovfs = []
+    res_m = None
+    if n_groups >= 1:
+        grp = _jit_group_pipeline(b, c, main_k, main_nw, g2)
+        outs = []
+        for gi in range(n_groups):
+            r, o = grp(rows, jnp.asarray(dm[gi * main_nw:
+                                            (gi + 1) * main_nw]))
+            outs.append(r)
+            ovfs.append(o)
+        if n_groups == 1:
+            res_m = outs[0]
+        else:
+            res_m = _jit_groups_combine(c * main_nw, n_groups, g2)(
+                tuple(tuple(o) for o in outs))
+    if tail_nw:
+        r_t, o = _jit_group_pipeline(b, tail_c, tail_k, tail_nw, g2)(
+            rows, jnp.asarray(dt))
+        ovfs.append(o)
+        if res_m is None:
+            res = r_t
+        else:
+            res = _jit_shift_add(c * tail_start, g2)(
+                tuple(r_t), tuple(res_m))
+    else:
+        res = res_m
+    out = _nest([a[:, :1] for a in res], g2)
+    # one sync at the end: the per-group dispatches stream asynchronously
+    ovf = any(bool(o) for o in ovfs)
+    return out, ovf
+
+
 def best_c(n):
     """Window bits minimizing dense-pipeline work for n uniform scalars.
 
@@ -1124,9 +1236,24 @@ def _validate_digit_contract(digits_np, c):
             % (int(row_max[-1]), top_allow))
 
 
+def _want_split(b, c, g2, split_dispatch):
+    """Resolve the split-dispatch choice: explicit beats env beats auto.
+
+    Auto: split the G2 B query at prover scales (the Fq2 single-dispatch
+    module is the one the remote compile service rejects); G1 keeps the
+    single-dispatch default (one round trip, known-good compiles)."""
+    import os
+    if split_dispatch is not None and split_dispatch != 'auto':
+        return bool(split_dispatch)
+    env = os.environ.get('ETHSNARKS_MSM_SPLIT')
+    if env in ('0', '1'):
+        return env == '1'
+    return g2 and b >= (1 << 18)
+
+
 def _dense_red_driver(points, digits, c, g2, max_lanes,
                       static_plan=False, ks=None, tail_bits=None,
-                      merged=None):
+                      merged=None, split_dispatch=None):
     n_windows, b = digits.shape
     host_planned = not static_plan
     already_merged = merged is not None
@@ -1206,9 +1333,15 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
     if pad_rows:
         dm = xp.concatenate(
             [dm, xp.zeros((pad_rows, b), dtype=digits.dtype)])
-    run = _jit_msm_dense_multi(b, c, g2, main_nw, n_groups,
-                               main_k, tail_start, tail_nw, tail_k, tc)
-    res, ovf = run(points, jnp.asarray(dm), jnp.asarray(dt))
+    if _want_split(b, c, g2, split_dispatch):
+        res, ovf_b = _msm_dense_split(points, dm, dt, b, c, g2, main_nw,
+                                      n_groups, main_k, tail_start,
+                                      tail_nw, tail_k, tc)
+        ovf = jnp.bool_(ovf_b)
+    else:
+        run = _jit_msm_dense_multi(b, c, g2, main_nw, n_groups,
+                                   main_k, tail_start, tail_nw, tail_k, tc)
+        res, ovf = run(points, jnp.asarray(dm), jnp.asarray(dt))
     if bool(ovf):
         # static plan undershot (or stale cached capacities): replan from
         # the actual digits.  The merge has already been applied to them,
@@ -1220,7 +1353,7 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
             raise AssertionError("dense MSM capacity overflow (plan bug)")
         out = _dense_red_driver(points, digits_np, c, g2, max_lanes,
                                 ks=exact, tail_bits=tail_bits,
-                                merged=merged)
+                                merged=merged, split_dispatch=split_dispatch)
     else:
         from_dev = g2_from_red if g2 else g1_from_red
         out = from_dev(res)[0]
@@ -1231,7 +1364,7 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
 
 
 def msm_g1_dense_red(points, digits, c, max_lanes=1 << 23,
-                     static_plan=False, affine=None):
+                     static_plan=False, affine=None, split_dispatch=None):
     """Dense all-windows G1 MSM on the red core; host affine result.
 
     points: red (X, Y, Z) device arrays from :func:`g1_to_red` (infinity
@@ -1242,13 +1375,19 @@ def msm_g1_dense_red(points, digits, c, max_lanes=1 << 23,
     scalars like the prover's H query).
 
     affine: accepted for API compatibility, ignored (the gather table
-    always carries z; identity substitution happens by gather redirect)."""
+    always carries z; identity substitution happens by gather redirect).
+
+    split_dispatch: None/'auto' (env ETHSNARKS_MSM_SPLIT, else split only
+    large G2), True (one executable per pipeline stage - small modules for
+    the remote compile service), False (single dispatch)."""
     return _dense_red_driver(points, digits, c, False, max_lanes,
-                             static_plan=static_plan)
+                             static_plan=static_plan,
+                             split_dispatch=split_dispatch)
 
 
 def msm_g2_dense_red(points, digits, c, max_lanes=1 << 22,
-                     static_plan=False, affine=None):
+                     static_plan=False, affine=None, split_dispatch=None):
     """Dense all-windows G2 MSM on the red core; host (Fq2, Fq2) result."""
     return _dense_red_driver(points, digits, c, True, max_lanes,
-                             static_plan=static_plan)
+                             static_plan=static_plan,
+                             split_dispatch=split_dispatch)
