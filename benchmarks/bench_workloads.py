@@ -169,36 +169,19 @@ def bench_eddsa16k():
 def bench_sha256_preimage():
     """SHA256-preimage Groth16 prove (~55k constraints, BASELINE config
     row 4): private 512-bit preimage, public digest packed into two field
-    elements, sha256_full_gadget_512 circuit, end-to-end device prove.
-    vs_baseline anchor: 1e5 constraints/s, an order-of-magnitude multicore
-    libsnark/mcl prover rate (BASELINE.md publishes no absolute number)."""
-    import hashlib
+    elements, sha256_many circuit with the batched device witness trace
+    (models.sha256_batch - the master-instance analog), end-to-end device
+    prove.  vs_baseline anchor: 1e5 constraints/s, an order-of-magnitude
+    multicore libsnark/mcl prover rate (BASELINE.md publishes no absolute
+    number)."""
     import pickle
-    from ethsnarks_tpu.r1cs import ConstraintSystem
-    from ethsnarks_tpu.gadgets import sha256_full_gadget_512
+    from ethsnarks_tpu.models.sha256_batch import BatchSha256
     from ethsnarks_tpu.groth16 import generator, ProverContext
 
     data = bytes(range(64))
-    digest = hashlib.sha256(data).digest()
-    pb = ConstraintSystem()
-    d_hi = pb.allocate('digest_hi')
-    d_lo = pb.allocate('digest_lo')
-    pb.set_input_sizes(2)
-    in_bits = pb.allocate_array(512, 'preimage')
-    g = sha256_full_gadget_512(pb, in_bits, 'sha')
-    g.generate_r1cs_constraints()
-    res = g.result()                     # 256 bits, MSB first
-    lc_hi = sum(b * (1 << (127 - i)) for i, b in enumerate(res[:128]))
-    lc_lo = sum(b * (1 << (127 - i)) for i, b in enumerate(res[128:]))
-    pb.add_constraint(lc_hi, 1, d_hi + 0, 'pack_hi')
-    pb.add_constraint(lc_lo, 1, d_lo + 0, 'pack_lo')
-
-    bits = ''.join(bin(byte)[2:].rjust(8, '0') for byte in data)
-    for v, ch in zip(in_bits, bits):
-        pb.setval(v, int(ch))
-    g.generate_r1cs_witness()
-    pb.setval(d_hi, int.from_bytes(digest[:16], 'big'))
-    pb.setval(d_lo, int.from_bytes(digest[16:], 'big'))
+    model = BatchSha256(1, n_bits=512)
+    model.set_witness([data])
+    pb = model.pb
     assert pb.is_satisfied()
     n = len(pb.constraints)
 

@@ -41,6 +41,7 @@ _DEVICE_TEST_MODULES = {
     "test_ops_fp.py",
     "test_ops_hash.py",
     "test_ops_jubjub.py",
+    "test_sha256_batch.py",
     "test_sharded_prover.py",
 }
 
