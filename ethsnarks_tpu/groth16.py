@@ -464,11 +464,13 @@ class ProverContext(object):
                 kw['max_lanes'] = int(lanes_env)
             elif self.config.msm_max_lanes:
                 kw['max_lanes'] = self.config.msm_max_lanes
-            elif len(self.pk.b_query) >= (1 << 19):
+            elif len(self.pk.b_query) >= (1 << 17):
                 # Fq2 doubles every dense plane: at 2^20-scale the default
                 # 2^22-lane budget puts a 2-window group slab + temps right
                 # at the HBM edge next to the resident keys (measured OOM
-                # by 271MB at 16GB); one window per group fits comfortably
+                # by 271MB at 16GB; a sparser 2^18-ish B query with its
+                # bigger per-bucket capacity OOM'd the same way at 8GB for
+                # the gather alone - hence the 2^17 threshold)
                 kw['max_lanes'] = 1 << 21
             static_plan = self._static(False)
             if not static_plan:

@@ -41,8 +41,14 @@ def _host_table(base, c, n_windows, to_device):
 
 
 def _digits_np(scalars, c, n_windows):
-    from .msm import window_digits_host_np
-    d = window_digits_host_np([int(s) % P for s in scalars], c)
+    from .fp import Fr, LIMB_BITS
+    from .msm import window_digits_from_limbs_np, window_digits_host_np
+    if c <= LIMB_BITS:
+        # bytes limb decomposition + numpy window extraction (the
+        # object-pass path cost whole seconds per 2^16 generator chunk)
+        d = window_digits_from_limbs_np(Fr.to_limbs_fast(scalars), c)
+    else:
+        d = window_digits_host_np([int(s) % P for s in scalars], c)
     assert d.shape[0] == n_windows
     return d.astype(np.int32)
 
@@ -84,6 +90,7 @@ class _BatchExp(object):
 
     def __init__(self, base, group='g1', c=8, bits=254):
         self.c = c
+        self.base = base
         self.group = group
         self.n_windows = (bits + c - 1) // c
         if group == 'g1':
@@ -184,9 +191,20 @@ class _BatchExp(object):
         return self.mul_many([scalar])[0]
 
     def mul_many(self, scalars, chunk=1 << 16):
-        """[s_i] -> [s_i * base] host points (None for s == 0)."""
-        out = []
+        """[s_i] -> [s_i * base] host points (None for s == 0).
+
+        Tiny batches run host double-and-add instead: the generator's
+        vk/pk/gammaABC muls otherwise force a fresh 128-lane executable
+        per group type (~2 minutes of cold remote compile for a handful
+        of points - measured in the 2^20 setup profile)."""
+        import os
         n_total = len(scalars)
+        host_max = int(os.environ.get('ETHSNARKS_BATCH_EXP_HOST_MAX',
+                                      '256'))
+        if n_total <= host_max:
+            from ..bn254 import multiply
+            return [multiply(self.base, int(s) % P) for s in scalars]
+        out = []
         for lo in range(0, n_total, chunk):
             sub = scalars[lo:lo + chunk]
             n = len(sub)

@@ -223,16 +223,41 @@ def g2_to_device(points):
 
 
 def g2_from_device(p):
-    """Device G2 (X, Y, Z) -> list of host (Fq2, Fq2) points / None."""
+    """Device G2 (X, Y, Z) -> list of host (Fq2, Fq2) points / None.
+
+    One Montgomery batch inversion over the Fq2 norms (z0^2 + z1^2)
+    replaces a per-point Fq2.inv() - at the generator's 2^20 G2 query the
+    per-point modular pows dominated the whole B-query phase."""
     from ..bn254 import Fq2 as HostFq2
+    q = FIELD_MODULUS
     X = fp2.from_limbs_batch(p[0])
     Y = fp2.from_limbs_batch(p[1])
     Z = fp2.from_limbs_batch(p[2])
-    out = []
-    for x, y, z in zip(X, Y, Z):
-        if z == (0, 0):
-            out.append(None)
-        else:
-            zi = HostFq2(list(z)).inv()
-            out.append((HostFq2(list(x)) * zi, HostFq2(list(y)) * zi))
+    norms, idxs = [], []
+    for i, (z0, z1) in enumerate(Z):
+        if z0 or z1:
+            norms.append((z0 * z0 + z1 * z1) % q)
+            idxs.append(i)
+    prefix = []
+    acc = 1
+    for n in norms:
+        acc = acc * n % q
+        prefix.append(acc)
+    out = [None] * len(Z)
+    if not norms:
+        return out
+    inv = pow(acc, -1, q)
+    for j in range(len(norms) - 1, -1, -1):
+        i = idxs[j]
+        before = prefix[j - 1] if j else 1
+        t = inv * before % q          # norms[j]^-1
+        inv = inv * norms[j] % q
+        z0, z1 = Z[i]
+        zi0, zi1 = z0 * t % q, -z1 * t % q
+        x0, x1 = X[i]
+        y0, y1 = Y[i]
+        out[i] = (HostFq2([(x0 * zi0 - x1 * zi1) % q,
+                           (x0 * zi1 + x1 * zi0) % q]),
+                  HostFq2([(y0 * zi0 - y1 * zi1) % q,
+                           (y0 * zi1 + y1 * zi0) % q]))
     return out

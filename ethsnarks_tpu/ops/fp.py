@@ -79,6 +79,9 @@ class Fp:
         if isinstance(values, (int,)):
             return np.array(_int_to_limbs(values % self.modulus),
                             dtype=np.uint32)
+        values = list(values)
+        if len(values) > 64:
+            return self.to_limbs_fast(values)
         arr = [int(v) % self.modulus for v in values]
         out = np.zeros((self.L, len(arr)), dtype=np.uint32)
         for b, v in enumerate(arr):
@@ -86,16 +89,46 @@ class Fp:
                 out[i, b] = (v >> (self.W * i)) & LIMB_MASK
         return out
 
+    def _from_limbs_bytes(self, flat):
+        """(L, n) uint32 canonical limbs -> list of python ints via 16-bit
+        accumulation planes + int.from_bytes (C speed; the per-element
+        shift-or loop costs ~2.5us/element and dominated the generator's
+        affine downloads at 2^20)."""
+        n = flat.shape[1]
+        planes = np.zeros((18, n), np.uint64)      # 16-bit planes, 288 bits
+        a = flat.astype(np.uint64)
+        for i in range(self.L):
+            bit0 = i * self.W
+            w0, sh = bit0 >> 4, bit0 & 15
+            v = a[i] << np.uint64(sh)              # <= W+15 bits
+            planes[w0] += v & np.uint64(0xffff)
+            planes[w0 + 1] += v >> np.uint64(16)
+        for _ in range(4):
+            carry = planes >> np.uint64(16)
+            if not carry.any():
+                break
+            planes &= np.uint64(0xffff)
+            planes[1:] += carry[:-1]
+        buf = planes.T.astype('<u2').tobytes()
+        mod = self.modulus
+        step = 36
+        return [int.from_bytes(buf[k * step:k * step + step],
+                               'little') % mod for k in range(n)]
+
     def from_limbs(self, limbs):
         """uint32 (L, *batch) -> python ints (nested lists follow batch dims)."""
         limbs = np.asarray(limbs)
         flat = limbs.reshape(self.L, -1)
-        vals = []
-        for b in range(flat.shape[1]):
-            v = 0
-            for i in reversed(range(self.L)):
-                v = (v << self.W) | int(flat[i, b])
-            vals.append(v % self.modulus)
+        if flat.shape[1] > 64 and (self.L - 1) * self.W <= 263 \
+                and int(flat.max(initial=0)) <= LIMB_MASK:
+            vals = self._from_limbs_bytes(flat)
+        else:
+            vals = []
+            for b in range(flat.shape[1]):
+                v = 0
+                for i in reversed(range(self.L)):
+                    v = (v << self.W) | int(flat[i, b])
+                vals.append(v % self.modulus)
         if limbs.ndim == 1:
             return vals[0]
         if limbs.ndim == 2:
@@ -114,7 +147,37 @@ class Fp:
 
     def to_limbs_fast(self, values):
         """Vectorized to_limbs: object/int ndarray (*batch) -> uint32 limbs
-        (L, *batch)."""
+        (L, *batch).
+
+        1-D int batches take a bytes fast path (int.to_bytes at C speed +
+        numpy byte-window extraction) instead of L python-bigint mask
+        passes - the prover's witness-limb phase at 2^20 dropped ~5x."""
+        if (self.L - 1) * self.W <= 263 and (
+                isinstance(values, (list, tuple)) or (
+                    isinstance(values, np.ndarray) and values.ndim == 1)):
+            mod = self.modulus
+            try:
+                buf = b''.join((int(v) % mod).to_bytes(32, 'little')
+                               for v in values)
+            except (TypeError, AttributeError, OverflowError):
+                buf = None
+            if buf is not None:
+                n = len(values)
+                # byte-MAJOR layout: each byte plane contiguous (the
+                # column-strided variant was 13x slower)
+                rT = np.zeros((36, n), dtype=np.uint32)
+                rT[:32] = np.frombuffer(
+                    buf, dtype=np.uint8).reshape(n, 32).T
+                out = np.empty((self.L, n), dtype=np.uint32)
+                mask32 = np.uint32((1 << self.W) - 1)
+                for i in range(self.L):
+                    bit0 = i * self.W
+                    b0, sh = bit0 >> 3, bit0 & 7
+                    v = (rT[b0] | (rT[b0 + 1] << np.uint32(8))
+                         | (rT[b0 + 2] << np.uint32(16))
+                         | (rT[b0 + 3] << np.uint32(24)))
+                    out[i] = (v >> np.uint32(sh)) & mask32
+                return out
         arr = np.asarray(values, dtype=object) % self.modulus
         out = np.zeros((self.L,) + arr.shape, dtype=np.uint32)
         mask = (1 << self.W) - 1

@@ -79,9 +79,27 @@ class RedField:
     # ---------- host conversions (python ints / object ndarrays) ----------
 
     def to_digits(self, values):
-        """Canonical (non-Montgomery) digits: ints -> (L, B) int32."""
+        """Canonical (non-Montgomery) digits: ints -> (L, B) int32.
+
+        Large batches take the bytes fast path (int.to_bytes + numpy
+        byte-window extraction; the object-pass loop cost ~3us/element -
+        tens of seconds for a 2^20 proving-key upload)."""
         arr = np.asarray(values, dtype=object).reshape(-1) % self.modulus
-        out = np.zeros((RL, arr.shape[0]), dtype=np.int32)
+        n = arr.shape[0]
+        if n > 64:
+            buf = b''.join(int(v).to_bytes(32, 'little') for v in arr)
+            rT = np.zeros((36, n), dtype=np.uint32)
+            rT[:32] = np.frombuffer(buf, dtype=np.uint8).reshape(n, 32).T
+            out = np.empty((RL, n), dtype=np.int32)
+            for i in range(RL):
+                bit0 = i * RB
+                b0, sh = bit0 >> 3, bit0 & 7
+                v = (rT[b0] | (rT[b0 + 1] << np.uint32(8))
+                     | (rT[b0 + 2] << np.uint32(16)))
+                out[i] = ((v >> np.uint32(sh))
+                          & np.uint32(RMASK)).astype(np.int32)
+            return out
+        out = np.zeros((RL, n), dtype=np.int32)
         cur = arr
         for i in range(RL):
             out[i] = (cur & RMASK).astype(np.int64).astype(np.int32)
@@ -91,8 +109,7 @@ class RedField:
     def to_mont(self, values):
         """ints -> Montgomery digits of v*R mod N."""
         arr = np.asarray(values, dtype=object).reshape(-1)
-        return self.to_digits([(int(v) * self.r_mod) % self.modulus
-                               for v in arr])
+        return self.to_digits((arr * self.r_mod) % self.modulus)
 
     def from_digits(self, digits):
         """(L, *batch) signed int digits -> python-int ndarray (mod N)."""

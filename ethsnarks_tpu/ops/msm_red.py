@@ -1348,12 +1348,29 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
         # so the recursion carries tail_bits through (it both skips the
         # re-merge and keeps the tail forced for merged rows).
         digits_np = np.asarray(digits)
+        # Mixed-addition filtering applies HERE too: a static plan that
+        # overflows is usually a ones-heavy witness distribution (bit
+        # variables), and exact-replanning around a scalar==1 flood makes
+        # bucket 1's capacity - hence the dense slab - explode (measured:
+        # an 8GB G2 gather and a compile OOM on a 2^20 Merkle B query).
+        ones_extra = None
+        is_one = (digits_np[0] == 1) & (digits_np[1:] == 0).all(axis=0) \
+            if digits_np.shape[0] > 1 else (digits_np[0] == 1)
+        n_ones = int(is_one.sum())
+        if n_ones > 4 * max(1, b >> c) + 64:
+            idx = np.nonzero(is_one)[0].astype(np.int32)
+            ones_extra = _ones_sum_red(points, idx, g2)
+            digits_np = digits_np.copy()
+            digits_np[:, idx] = 0
         exact = _window_ks(b, c, digits_np)
-        if exact == list(ks):
+        if exact == list(ks) and ones_extra is None:
             raise AssertionError("dense MSM capacity overflow (plan bug)")
         out = _dense_red_driver(points, digits_np, c, g2, max_lanes,
                                 ks=exact, tail_bits=tail_bits,
                                 merged=merged, split_dispatch=split_dispatch)
+        if ones_extra is not None:
+            from ..bn254 import add as host_add
+            out = host_add(out, ones_extra)
     else:
         from_dev = g2_from_red if g2 else g1_from_red
         out = from_dev(res)[0]

@@ -41,13 +41,26 @@ assert pow(_ROOT_OF_UNITY, 1 << (TWO_ADICITY - 1), R) == R - 1
 
 
 def _mont_np(vals):
-    """ints -> (L, n) uint32 Montgomery limbs."""
-    out = np.zeros((Fr.L, len(vals)), dtype=np.uint32)
-    for b, v in enumerate(vals):
-        m = (int(v) % R) * Fr.R_mod % R
-        for i in range(Fr.L):
-            out[i, b] = (m >> (Fr.W * i)) & ((1 << Fr.W) - 1)
-    return out
+    """ints -> (L, n) uint32 Montgomery limbs.
+
+    One object-array pass for the Montgomery scaling, then the bytes fast
+    path of to_limbs_fast - the per-element double loop this replaces cost
+    ~6us/element (tens of seconds over a 2^21 domain's twiddle planes)."""
+    arr = np.asarray(list(vals), dtype=object)
+    m = (arr * Fr.R_mod) % R
+    return Fr.to_limbs_fast(m)
+
+
+def _pow_series(w, n, mod=None):
+    """[w^0, w^1, ..., w^(n-1)] mod R as an object ndarray via doubling
+    (log2(n) vectorized passes instead of n modular pows)."""
+    mod = mod or R
+    out = np.ones(1, dtype=object)
+    wk = int(w) % mod
+    while len(out) < n:
+        out = np.concatenate([out, (out * wk) % mod])
+        wk = wk * wk % mod
+    return out[:n]
 
 
 def _bitrev_indices(m):
@@ -75,29 +88,32 @@ class NttDomain:
 
         # Per-stage twiddles for spans n = m, m/2, ..., 2 (DIF order):
         # stage twiddles are w_n^j, j in 0..n/2-1, with w_n = omega^(m/n).
+        # Stage s's twiddles are the stride-2^s subsample of the stage-0
+        # series (omega^(2^s * j)), so ONE doubled power series of length
+        # m/2 (and its inverse) feeds every stage - no per-element pows.
+        base_fwd = _pow_series(self.omega, m // 2)
+        base_inv = _pow_series(self.omega_inv, m // 2)
         self.tw_fwd = []
         self.tw_inv = []
         for s in range(self.k):
             n = m >> s
-            w_n = pow(self.omega, m // n, R)
-            w_inv = pow(self.omega_inv, m // n, R)
-            js = [pow(w_n, j, R) for j in range(n // 2)]
-            js_inv = [pow(w_inv, j, R) for j in range(n // 2)]
-            self.tw_fwd.append(_mont_np(js))
-            self.tw_inv.append(_mont_np(js_inv))
+            self.tw_fwd.append(_mont_np(base_fwd[::1 << s][:n // 2]))
+            self.tw_inv.append(_mont_np(base_inv[::1 << s][:n // 2]))
 
         # Pointwise constant arrays (bit-reversed order where applicable).
         g = coset_gen
-        g_pows = [pow(g, int(i), R) for i in self.bitrev]
-        g_pows_inv = [pow(g, -int(i), R) for i in self.bitrev]
+        g_series = _pow_series(g, m)
+        g_inv_series = _pow_series(pow(g, -1, R), m)
+        g_pows = g_series[self.bitrev]
+        g_pows_inv = g_inv_series[self.bitrev]
         self.coset_scale_bitrev = _mont_np(g_pows)          # (L, m)
         self.coset_unscale_bitrev = _mont_np(g_pows_inv)    # (L, m)
         # Fused ifft+coset scales (one pointwise pass instead of two in
         # the witness map): g^i/m and g^-i/m in bitrev order.
         self.coset_scale_m_inv_bitrev = _mont_np(
-            [p * self.m_inv % R for p in g_pows])
+            (g_pows * self.m_inv) % R)
         self.coset_unscale_m_inv_bitrev = _mont_np(
-            [p * self.m_inv % R for p in g_pows_inv])
+            (g_pows_inv * self.m_inv) % R)
         self.m_inv_mont = _mont_np([self.m_inv])            # (L, 1)
         z_coset = (pow(g, m, R) - 1) % R                    # Z_H(coset) const
         self.z_coset_inv_mont = _mont_np([pow(z_coset, -1, R)])
@@ -215,5 +231,9 @@ class NttDomain:
 
 
 @lru_cache(maxsize=None)
+@lru_cache(maxsize=2)
 def get_domain(m):
+    """Domain cache: generator() and ProverContext() both need the same
+    domain; at 2^21 its twiddle/coset planes take seconds to build and
+    hundreds of MB, so share the last two sizes in-process."""
     return NttDomain(m)

@@ -210,17 +210,20 @@ class ConstraintSystem(object):
     def to_coo(self):
         """Three COO matrices (rows, cols, coeffs) as numpy arrays (int64 rows/
         cols, object coeffs as python ints)."""
+        from itertools import chain
         out = {}
         for name in ('a', 'b', 'c'):
-            rows, cols, coeffs = [], [], []
-            for i, cons in enumerate(self.constraints):
-                for k, v in getattr(cons, name).terms.items():
-                    rows.append(i)
-                    cols.append(k)
-                    coeffs.append(v)
-            out[name] = (np.array(rows, dtype=np.int64),
-                         np.array(cols, dtype=np.int64),
-                         coeffs)
+            term_dicts = [getattr(cons, name).terms
+                          for cons in self.constraints]
+            counts = np.fromiter((len(t) for t in term_dicts),
+                                 dtype=np.int64, count=len(term_dicts))
+            rows = np.repeat(np.arange(len(term_dicts), dtype=np.int64),
+                             counts)
+            cols = np.fromiter(chain.from_iterable(term_dicts),
+                               dtype=np.int64, count=int(counts.sum()))
+            coeffs = list(chain.from_iterable(
+                t.values() for t in term_dicts))
+            out[name] = (rows, cols, coeffs)
         return out
 
 

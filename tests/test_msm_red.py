@@ -211,6 +211,23 @@ class TestRedEnvelope(unittest.TestCase):
         got = msm_red.msm_g2_dense_red(dev, _full_digits(scalars, 8), 8)
         self.assertEqual(got, _host_msm(scalars, pts))
 
+    def test_g1_static_plan_ones_flood_replan(self):
+        # REGRESSION (round-5, 2^20 Merkle B query): a bit-heavy witness
+        # floods bucket 1 of window 0; the static plan overflows and the
+        # exact replan - without mixed-addition filtering - made bucket
+        # 1's dense capacity (and the gather slab) explode into a compile
+        # OOM on hardware.  The replan must route scalar==1 columns
+        # through the plain point-sum and keep capacities bounded.
+        n = 512
+        pts = [multiply(G1_GEN, int(j) + 1) for j in range(16)] * (n // 16)
+        dev = msm_red.g1_to_red(pts)
+        scalars = _rand_scalars(n, 23)
+        for i in range(0, n, 2):                     # 256 ones > threshold
+            scalars[i] = 1
+        digits = _full_digits(scalars, 7)
+        got = msm_red.msm_g1_dense_red(dev, digits, 7, static_plan=True)
+        self.assertEqual(got, _host_msm(scalars, pts))
+
     def test_digit_contract_violation_raises(self):
         # round-2 bench bug shape: top digit spanning past bit 253 at c=11
         # must RAISE, not silently corrupt
