@@ -37,14 +37,20 @@ def _rand_mont(shape, seed):
         Fr.to_limbs_fast(vals.astype(object)))).reshape((Fr.L,) + tuple(shape))
 
 
+def _sync(out):
+    # On the axon tunnel block_until_ready returns at ENQUEUE; a (tiny)
+    # host read is the only real fence.  Read one element of one leaf.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+    return out
+
+
 def _time(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(fn(*args))
     best = float('inf')
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -504,7 +504,8 @@ class ProverContext(object):
                 markers = os.environ.get(
                     'ETHSNARKS_G2_FALLBACK_MARKERS',
                     'remote_compile,compile,RESOURCE_EXHAUSTED,'
-                    'DEADLINE_EXCEEDED,413,500,Unavailable').split(',')
+                    'DEADLINE_EXCEEDED,413,500,Unavailable,'
+                    'capacity explosion').split(',')
                 text = '%s: %s' % (type(exc).__name__, exc)
                 cause = exc.__cause__ or exc.__context__
                 if cause is not None:

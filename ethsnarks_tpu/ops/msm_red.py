@@ -724,6 +724,117 @@ def _pipeline(consts, b3, rows, digits_grp, b, c, k, nw, g2):
     return [jnp.pad(a, ((0, 0), (0, 127))) for a in _leaves(res, g2)], ovf
 
 
+def _pipeline_emb(consts, b3, rows, digits_grp, b, c, k_sub, nw, h_split,
+                  g2):
+    """Embedded-index variant of :func:`_pipeline`: each window's b columns
+    split into ``h_split`` contiguous sub-rows of bs = b/h_split, sorted
+    ROW-WISE on a single uint32 key (digit << log2(bs) | column) - half the
+    sort bytes of the composite key+value pair sort, no value operand, and
+    a shorter sort network (log2(bs) < log2(nw*b) passes).  The original
+    point index is recovered arithmetically from the sorted key, so the
+    whole (key, iota) value channel disappears.
+
+    Requires c + log2(bs) <= 32 and pow2 b.  k_sub is the PER-SUB-ROW
+    dense capacity; the halving tree runs one level shallower and the two
+    half-sums are folded with one extra full-bucket-width add before the
+    pairfold.  Identity-redirect, capacity-major layout and bucket-0
+    exclusion are identical to _pipeline."""
+    n_buckets = 1 << c
+    nw_pad = _pow2ceil(nw)
+    bs = b // h_split
+    log2bs = bs.bit_length() - 1
+    assert c + log2bs <= 32 and (1 << log2bs) == bs
+    nsub = nw * h_split
+    nsub_pad = nw_pad * h_split
+    n_slots = nsub * n_buckets
+    n_slots_pad = nsub_pad * n_buckets
+
+    dsub = digits_grp.reshape(nw, h_split, bs).reshape(nsub, bs)
+    keys = ((dsub.astype(jnp.uint32) << log2bs)
+            | jnp.arange(bs, dtype=jnp.uint32)[None, :])
+    skeys = jax.lax.sort(keys, dimension=1)
+    # original point index per sorted position (flattened (nsub*bs,))
+    offs = ((jnp.arange(nsub, dtype=jnp.int32) % h_split) * bs)[:, None]
+    orig = ((skeys & jnp.uint32(bs - 1)).astype(jnp.int32)
+            + offs).reshape(-1)
+    total = nsub * bs
+
+    qs = (jnp.arange(n_buckets, dtype=jnp.uint32) << log2bs)
+    starts_r = jax.vmap(
+        lambda row: jnp.searchsorted(row, qs, side='left'))(skeys)
+    ends_r = jnp.concatenate(
+        [starts_r[:, 1:], jnp.full((nsub, 1), bs, jnp.int32)], axis=1)
+    base = (jnp.arange(nsub, dtype=jnp.int32) * bs)[:, None]
+    starts_flat = (starts_r + base).reshape(-1)
+    ends_flat = (ends_r + base).reshape(-1)
+    # pad sub-rows beyond nsub with empty runs at `total`
+    pad_slots = n_slots_pad - n_slots
+    if pad_slots:
+        starts_flat = jnp.concatenate(
+            [starts_flat, jnp.full((pad_slots,), total, jnp.int32)])
+        ends_flat = jnp.concatenate(
+            [ends_flat, jnp.full((pad_slots,), total, jnp.int32)])
+    slots = jnp.arange(n_slots_pad, dtype=jnp.int32)
+    live = (slots < n_slots) & ((slots & (n_buckets - 1)) != 0)
+    ovf = jnp.any(jnp.where(live, ends_flat - starts_flat, 0) > k_sub)
+
+    j = jnp.arange(k_sub, dtype=jnp.int32)
+    src_sorted = starts_flat[None, :] + j[:, None]    # (k_sub, n_slots_pad)
+    vflat = (src_sorted < ends_flat[None, :]).reshape(-1).astype(jnp.int32)
+    src_orig = jnp.take(
+        orig, jnp.clip(src_sorted.reshape(-1), 0, total - 1))
+    src_safe = src_orig * vflat + (1 - vflat) * jnp.int32(b)
+    g = jnp.take(rows.astype(jnp.uint32), src_safe,
+                 axis=0).T.astype(jnp.int32)
+
+    def cmap(f, p):
+        if g2:
+            return tuple((f(a[0]), f(a[1])) for a in p)
+        return tuple(f(a) for a in p)
+
+    planes = [g[ci * RL:(ci + 1) * RL] for ci in range(6 if g2 else 3)]
+    dense = _nest(planes, g2)
+
+    per = k_sub
+    while per > 1:
+        half = per // 2
+        resh = cmap(lambda a: a.reshape(RL, per, n_slots_pad), dense)
+        lhs = cmap(lambda a: a[:, :half].reshape(RL, -1), resh)
+        rhs = cmap(lambda a: a[:, half:].reshape(RL, -1), resh)
+        if g2:
+            dense = _g2_add_red_dev(consts, b3, lhs, rhs)
+        else:
+            dense = _g1_add_red_dev(consts, lhs, rhs)
+        per = half
+
+    # fold the h_split half-sums per (window, bucket): sub-rows are
+    # window-major (w*h_split + h), so the major axis reshapes cleanly
+    while h_split > 1:
+        half = h_split // 2
+        resh = cmap(
+            lambda a: a.reshape(RL, nw_pad, h_split, n_buckets), dense)
+        lhs = cmap(lambda a: a[:, :, :half].reshape(RL, -1), resh)
+        rhs = cmap(lambda a: a[:, :, half:].reshape(RL, -1), resh)
+        if g2:
+            dense = _g2_add_red_dev(consts, b3, lhs, rhs)
+        else:
+            dense = _g1_add_red_dev(consts, lhs, rhs)
+        h_split = half
+
+    if use_pallas():
+        folded = _pairfold(consts, b3, dense, c, nw_pad, g2)
+    else:
+        folded = _pairfold_ref(consts, b3, dense, c, nw_pad, g2)
+    if use_pallas():
+        if g2:
+            h = _k_horner_all_red_g2(c, nw_pad)(consts, b3, *folded)
+            return list(h), ovf
+        h = _k_horner_all_red(c, nw_pad)(consts, *folded)
+        return list(h), ovf
+    res = _horner_ref(consts, _nest(folded, g2), c, nw_pad, g2=g2, b3=b3)
+    return [jnp.pad(a, ((0, 0), (0, 127))) for a in _leaves(res, g2)], ovf
+
+
 def _group_horner(consts, b3, stacked, c_per, n_groups, g2):
     """Combine per-group results R_g (leaves of (n_groups, RL, 128)) into
     sum_g 2^(c_per*g) R_g at (RL, 128) ballast width."""
@@ -834,7 +945,7 @@ def _msm_scan_accum(points, digits, b, c, g2):
 
 def _msm_dense_traced(points, digits_main, digits_tail, b, c, g2, main_nw,
                       n_groups, main_k, tail_start, tail_nw, tail_k,
-                      tail_c):
+                      tail_c, h_split=1):
     """Traced whole-MSM body (shared by the single-chip jit wrapper and the
     shard_map sharded driver).
 
@@ -860,18 +971,22 @@ def _msm_dense_traced(points, digits_main, digits_tail, b, c, g2, main_nw,
                            axis=1)
     rows = jnp.pad(rows, ((0, rows_pad - rows_used), (0, 0))).T
 
+    def one_group(d):
+        if h_split > 1:
+            return _pipeline_emb(consts, b3, rows, d, b, c, main_k,
+                                 main_nw, h_split, g2)
+        return _pipeline(consts, b3, rows, d, b, c, main_k, main_nw, g2)
+
     ovf = jnp.bool_(False)
     res_m = None
     if n_groups == 1:
-        res_m, o = _pipeline(consts, b3, rows, digits_main,
-                             b, c, main_k, main_nw, g2)
+        res_m, o = one_group(digits_main)
         ovf |= o
     elif n_groups > 1:
         dg = digits_main.reshape(n_groups, main_nw, b)
 
         def step(carry, d):
-            r, o = _pipeline(consts, b3, rows, d,
-                             b, c, main_k, main_nw, g2)
+            r, o = one_group(d)
             return carry, (r, o)
 
         _, (rs, ovfs) = jax.lax.scan(step, jnp.int32(0), dg)
@@ -895,7 +1010,7 @@ def _msm_dense_traced(points, digits_main, digits_tail, b, c, g2, main_nw,
 
 @lru_cache(maxsize=None)
 def _jit_msm_dense_multi(b, c, g2, main_nw, n_groups, main_k,
-                         tail_start, tail_nw, tail_k, tail_c):
+                         tail_start, tail_nw, tail_k, tail_c, h_split=1):
     """The whole MSM in ONE jit / one device dispatch (see
     :func:`_msm_dense_traced` for the pipeline layout)."""
 
@@ -903,7 +1018,7 @@ def _jit_msm_dense_multi(b, c, g2, main_nw, n_groups, main_k,
     def run(points, digits_main, digits_tail):
         return _msm_dense_traced(points, digits_main, digits_tail, b, c,
                                  g2, main_nw, n_groups, main_k, tail_start,
-                                 tail_nw, tail_k, tail_c)
+                                 tail_nw, tail_k, tail_c, h_split)
 
     return run
 
@@ -1236,6 +1351,32 @@ def _validate_digit_contract(digits_np, c):
             % (int(row_max[-1]), top_allow))
 
 
+def _emb_split(b, c, g2, static_plan, main_k):
+    """Pick the embedded-index sort split (h_split, per-sub-row capacity)
+    for the main window groups, or (1, main_k) for the classic composite
+    sort.  G1 static-plan pow2 problems only (the host-planned path's
+    per-window exact capacities are per-FULL-window; on overflow the
+    driver replans through the classic path anyway).
+
+    Env: ETHSNARKS_MSM_EMB=0 disables, =1 forces where legal (default
+    on)."""
+    import math
+    import os
+    env = os.environ.get('ETHSNARKS_MSM_EMB', '')
+    if env == '0' or g2 or not static_plan or b < (1 << 12) \
+            or (b & (b - 1)) != 0:
+        return 1, main_k
+    h = max(2, _pow2ceil(max(1, b >> (32 - c))))   # c + log2(b/h) <= 32
+    mean_sub = max(1, (b // h) >> c)
+    k_emb = _pow2ceil(mean_sub + 4 * int(math.isqrt(mean_sub)) + 8)
+    if k_emb * h > main_k and env != '1':
+        # the sub-row pow2 capacity ceiling would add tree/gather work -
+        # only take the cheaper sort when the dense volume stays equal
+        # (=1 forces it anyway, for tests/experiments)
+        return 1, main_k
+    return h, k_emb
+
+
 def _want_split(b, c, g2, split_dispatch):
     """Resolve the split-dispatch choice: explicit beats env beats auto.
 
@@ -1321,8 +1462,13 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
             tc = max(7, cap)
     else:
         tc = 7
-    if (1 << c) * main_k > (1 << 26) or \
-            (tail_nw and (1 << tc) * tail_k > (1 << 26)):
+    # Capacity guard: a window slab is (rows_pad, 2^c * k) int32; G2's 256
+    # coord rows put a 2^23-lane slab at 8GB of HLO temp (measured compile
+    # OOM on a duplicate-heavy B query) - fail fast into the generic
+    # fallback instead.  G1 (128 rows) tolerates one notch more.
+    lane_cap = 1 << (21 if g2 else 26)
+    if (1 << c) * main_k > lane_cap or \
+            (tail_nw and (1 << tc) * tail_k > lane_cap):
         raise ValueError(
             "dense MSM capacity explosion (k=%d/%d at c=%d/tc=%d): "
             "extremely repetitive scalar distribution - reduce c or extend "
@@ -1339,8 +1485,11 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
                                       tail_nw, tail_k, tc)
         ovf = jnp.bool_(ovf_b)
     else:
+        h_split, k_emb = _emb_split(b, c, g2, static_plan, main_k)
         run = _jit_msm_dense_multi(b, c, g2, main_nw, n_groups,
-                                   main_k, tail_start, tail_nw, tail_k, tc)
+                                   k_emb if h_split > 1 else main_k,
+                                   tail_start, tail_nw, tail_k, tc,
+                                   h_split)
         res, ovf = run(points, jnp.asarray(dm), jnp.asarray(dt))
     if bool(ovf):
         # static plan undershot (or stale cached capacities): replan from
