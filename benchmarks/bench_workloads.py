@@ -231,6 +231,7 @@ WORKLOADS = {
 
 def main():
     names = sys.argv[1:] or list(WORKLOADS)
+    out = os.environ.get("WORKLOADS_OUT")
     results = {}
     for name in names:
         try:
@@ -239,10 +240,11 @@ def main():
             row = {"metric": name, "error": str(exc)}
         results[name] = row
         print(json.dumps(row), flush=True)
-    out = os.environ.get("WORKLOADS_OUT")
-    if out:
-        with open(out, "w") as fh:
-            json.dump(results, fh, indent=1, sort_keys=True)
+        if out:
+            # write after EVERY workload: a timeout mid-suite must not
+            # lose the rows already measured
+            with open(out, "w") as fh:
+                json.dump(results, fh, indent=1, sort_keys=True)
     return 0 if all("error" not in r for r in results.values()) else 1
 
 
