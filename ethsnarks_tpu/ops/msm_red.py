@@ -1328,7 +1328,47 @@ def _ones_sum_red(points, idx, g2):
         _cmapf(lambda a: a[:, :1], res, g2))[0]
 
 
-def _validate_digit_contract(digits_np, c):
+def _filter_heavy_groups(points, digits_np, b, c, g2):
+    """Route over-popular scalar values around the dense pipeline.
+
+    Groups identical digit COLUMNS (host, void-view unique); every group
+    with more than max(64, 4*mean) members is removed from the digit
+    matrix and its contribution value * sum(group points) is computed via
+    the device point-sum + one host scalar multiply.  Returns (filtered
+    digits (a copy when anything was filtered), extra host point or
+    None).  The all-zero column group is skipped (it contributes
+    nothing)."""
+    from ..bn254 import add as host_add, multiply as host_mul
+    nw = digits_np.shape[0]
+    colsT = np.ascontiguousarray(digits_np.T).astype(np.uint32)
+    void = colsT.view([('', np.uint32)] * nw).reshape(-1)
+    uniq, inverse, counts = np.unique(void, return_inverse=True,
+                                      return_counts=True)
+    thresh = max(64, 4 * max(1, b >> c))
+    heavy = np.nonzero(counts > thresh)[0]
+    if len(heavy) == 0:
+        return digits_np, None
+    if len(heavy) > 128:
+        # pathological many-duplicates input: route only the heaviest 128
+        # (one device dispatch each); the remainder stays dense with
+        # correspondingly larger exact capacities
+        heavy = heavy[np.argsort(counts[heavy])[::-1][:128]]
+    digits_out = digits_np.copy()
+    extra = None
+    for gi in heavy:
+        idx = np.nonzero(inverse == gi)[0].astype(np.int32)
+        col = digits_np[:, idx[0]]            # (nw,) digit stack
+        if not col.any():
+            continue                          # zero scalar: contributes 0
+        value = 0
+        for w in range(nw - 1, -1, -1):
+            value = (value << c) | int(col[w])
+        s = _ones_sum_red(points, idx, g2)
+        digits_out[:, idx] = 0
+        part = host_mul(s, value) if s is not None else None
+        if part is not None:
+            extra = host_add(extra, part) if extra is not None else part
+    return (digits_out, extra) if extra is not None else (digits_np, None)
     """Raise on digits violating the decomposition contract instead of
     silently corrupting the MSM: every window must hold < 2^c, and the top
     window additionally < 2^(254 - (n_windows-1)*c) so the implied scalar
@@ -1497,29 +1537,29 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
         # so the recursion carries tail_bits through (it both skips the
         # re-merge and keeps the tail forced for merged rows).
         digits_np = np.asarray(digits)
-        # Mixed-addition filtering applies HERE too: a static plan that
-        # overflows is usually a ones-heavy witness distribution (bit
-        # variables), and exact-replanning around a scalar==1 flood makes
-        # bucket 1's capacity - hence the dense slab - explode (measured:
-        # an 8GB G2 gather and a compile OOM on a 2^20 Merkle B query).
-        ones_extra = None
-        is_one = (digits_np[0] == 1) & (digits_np[1:] == 0).all(axis=0) \
-            if digits_np.shape[0] > 1 else (digits_np[0] == 1)
-        n_ones = int(is_one.sum())
-        if n_ones > 4 * max(1, b >> c) + 64:
-            idx = np.nonzero(is_one)[0].astype(np.int32)
-            ones_extra = _ones_sum_red(points, idx, g2)
-            digits_np = digits_np.copy()
-            digits_np[:, idx] = 0
+        # Duplicate-scalar filtering (the general form of the reference's
+        # multi_exp_with_mixed_addition): an overflowing static plan is a
+        # skewed distribution - bit variables flooding bucket 1, or EQUAL
+        # witness values (shared IVs, default tree nodes) flooding an
+        # arbitrary bucket - and exact-replanning around the flood makes
+        # that bucket's dense capacity (hence the gather slab) explode
+        # (measured: an 8GB G2 gather compile-OOM on a 2^20 Merkle B
+        # query, k=1024 from ~900 equal values).  Each heavy group of
+        # identical digit-columns contributes value * sum(points): the
+        # point sum runs on device (_ones_sum_red), the single scalar
+        # multiply on host.
+        extra = None
+        digits_np, extra = _filter_heavy_groups(points, digits_np, b, c,
+                                                g2)
         exact = _window_ks(b, c, digits_np)
-        if exact == list(ks) and ones_extra is None:
+        if exact == list(ks) and extra is None:
             raise AssertionError("dense MSM capacity overflow (plan bug)")
         out = _dense_red_driver(points, digits_np, c, g2, max_lanes,
                                 ks=exact, tail_bits=tail_bits,
                                 merged=merged, split_dispatch=split_dispatch)
-        if ones_extra is not None:
+        if extra is not None:
             from ..bn254 import add as host_add
-            out = host_add(out, ones_extra)
+            out = host_add(out, extra)
     else:
         from_dev = g2_from_red if g2 else g1_from_red
         out = from_dev(res)[0]

@@ -228,6 +228,24 @@ class TestRedEnvelope(unittest.TestCase):
         got = msm_red.msm_g1_dense_red(dev, digits, 7, static_plan=True)
         self.assertEqual(got, _host_msm(scalars, pts))
 
+    def test_g1_static_plan_duplicate_value_replan(self):
+        # REGRESSION (round-5, flagship Merkle B query): ~900 EQUAL
+        # witness values (shared IVs / default tree nodes) flood one
+        # bucket per window; the exact replan must route each heavy
+        # duplicate group through value * device-point-sum
+        # (_filter_heavy_groups) instead of exploding the dense capacity
+        # into a multi-GB gather slab.
+        n = 512
+        pts = [multiply(G1_GEN, int(j) + 1) for j in range(16)] * (n // 16)
+        dev = msm_red.g1_to_red(pts)
+        scalars = _rand_scalars(n, 29)
+        dup = 0xABCDEF0123456789FEDCBA
+        for i in range(0, n, 2):
+            scalars[i] = dup                 # 256 equal values
+        digits = _full_digits(scalars, 7)
+        got = msm_red.msm_g1_dense_red(dev, digits, 7, static_plan=True)
+        self.assertEqual(got, _host_msm(scalars, pts))
+
     def test_digit_contract_violation_raises(self):
         # round-2 bench bug shape: top digit spanning past bit 253 at c=11
         # must RAISE, not silently corrupt
