@@ -1328,6 +1328,48 @@ def _ones_sum_red(points, idx, g2):
         _cmapf(lambda a: a[:, :1], res, g2))[0]
 
 
+@lru_cache(maxsize=None)
+def _jit_scan_accum(b, nw, c, g2):
+    @jax.jit
+    def run(points, digits):
+        return _msm_scan_accum(points, digits, b, c, g2)
+    return run
+
+
+def _spill_dense_overflow(points, digits_np, b, c, g2, cap_target,
+                          merged):
+    """Bound the dense per-bucket capacity by routing the columns beyond
+    ``cap_target`` of any overloaded (main-window, bucket) pair through
+    the exact scan-accumulate MSM (no capacity planning at all).
+
+    The duplicate-GROUP filter can't catch floods of DISTINCT values that
+    merely share one window digit; this can, at O(spill) sequential adds.
+    Returns (filtered digits, extra host point or None)."""
+    spill_mask = np.zeros(b, dtype=bool)
+    for w in range(max(1, digits_np.shape[0] - 1)):   # main rows
+        counts = np.bincount(digits_np[w], minlength=1 << c)
+        for bucket in (np.nonzero(counts[1:] > cap_target)[0] + 1):
+            cols = np.nonzero(digits_np[w] == bucket)[0]
+            spill_mask[cols[cap_target:]] = True
+    if not spill_mask.any():
+        return digits_np, None
+    idx = np.nonzero(spill_mask)[0]
+    sdig = digits_np[:, idx].astype(np.int32)
+    if merged:
+        # un-merge the top row: the scan contract needs every row < 2^c
+        low = sdig[-1] & ((1 << c) - 1)
+        top = sdig[-1] >> c
+        sdig = np.concatenate([sdig[:-1], low[None], top[None]], axis=0)
+    sel_dev = jnp.asarray(idx.astype(np.int32))
+    spts = _cmapf(lambda a: jnp.take(a, sel_dev, axis=1), points, g2)
+    res, _ = _jit_scan_accum(len(idx), sdig.shape[0], c, g2)(
+        spts, jnp.asarray(sdig))
+    part = (g2_from_red if g2 else g1_from_red)(res)[0]
+    out = digits_np.copy()
+    out[:, idx] = 0
+    return out, part
+
+
 def _filter_heavy_groups(points, digits_np, b, c, g2):
     """Route over-popular scalar values around the dense pipeline.
 
@@ -1548,10 +1590,23 @@ def _dense_red_driver(points, digits, c, g2, max_lanes,
         # identical digit-columns contributes value * sum(points): the
         # point sum runs on device (_ones_sum_red), the single scalar
         # multiply on host.
-        extra = None
         digits_np, extra = _filter_heavy_groups(points, digits_np, b, c,
                                                 g2)
         exact = _window_ks(b, c, digits_np)
+        # Distinct values sharing one window digit can still flood a
+        # bucket past the slab budget (measured k=1024 on the Merkle B
+        # query AFTER group filtering); spill the excess columns of any
+        # overloaded bucket to the exact scan-accumulate MSM.
+        import os as _os
+        cap_k = int(_os.environ.get('ETHSNARKS_MSM_SPILL_CAP', '0')) \
+            or ((1 << (21 if g2 else 23)) >> c)
+        if max(exact[:-1] if len(exact) > 1 else exact) > cap_k:
+            digits_np, spill = _spill_dense_overflow(
+                points, digits_np, b, c, g2, max(64, cap_k // 2), merged)
+            if spill is not None:
+                from ..bn254 import add as _host_add
+                extra = spill if extra is None else _host_add(extra, spill)
+                exact = _window_ks(b, c, digits_np)
         if exact == list(ks) and extra is None:
             raise AssertionError("dense MSM capacity overflow (plan bug)")
         out = _dense_red_driver(points, digits_np, c, g2, max_lanes,

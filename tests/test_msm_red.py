@@ -246,6 +246,33 @@ class TestRedEnvelope(unittest.TestCase):
         got = msm_red.msm_g1_dense_red(dev, digits, 7, static_plan=True)
         self.assertEqual(got, _host_msm(scalars, pts))
 
+    def test_g1_static_plan_shared_digit_spill(self):
+        # REGRESSION (round-5, flagship Merkle B query, second form):
+        # DISTINCT values that share one window digit (~600 groups of ~96
+        # equal path-node values) flood a bucket past the slab budget;
+        # the group filter can't see them, so the excess columns must
+        # spill to the exact scan-accumulate MSM
+        # (_spill_dense_overflow; cap forced small via env for test
+        # scale).
+        import os
+        n = 512
+        pts = [multiply(G1_GEN, int(j) + 1) for j in range(16)] * (n // 16)
+        dev = msm_red.g1_to_red(pts)
+        rng = np.random.default_rng(43)
+        scalars = _rand_scalars(n, 37)
+        for i in range(300):
+            hi = int.from_bytes(rng.bytes(30), 'little') << 7
+            scalars[i] = ((hi & ~0x7f) | 5) % CURVE_ORDER
+            scalars[i] = (scalars[i] & ~0x7f) | 5
+        digits = _full_digits(scalars, 7)
+        os.environ['ETHSNARKS_MSM_SPILL_CAP'] = '64'
+        try:
+            got = msm_red.msm_g1_dense_red(dev, digits, 7,
+                                           static_plan=True)
+        finally:
+            del os.environ['ETHSNARKS_MSM_SPILL_CAP']
+        self.assertEqual(got, _host_msm(scalars, pts))
+
     def test_digit_contract_violation_raises(self):
         # round-2 bench bug shape: top digit spanning past bit 253 at c=11
         # must RAISE, not silently corrupt
