@@ -69,7 +69,7 @@ def bench_poseidon1k():
 def bench_mimc64k():
     from ethsnarks_tpu.ops.mimc import mimc_hash_batch
     B = 65536
-    xs = _rand_mont((2, B), 2)
+    xs = jnp.moveaxis(_rand_mont((2, B), 2), 1, 0)   # (n_msgs, L, B)
     k = _rand_mont((B,), 3)
     fn = jax.jit(mimc_hash_batch)
     dt = _time(fn, xs, k)
